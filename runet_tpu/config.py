@@ -1,0 +1,178 @@
+"""Frozen dataclass configuration system (SURVEY.md §5.6).
+
+One config tree per run, serialized into every run dir / checkpoint. The five
+presets mirror BASELINE.json ``configs`` 1–5 exactly; the reference kept these
+as per-script hyperparameter dicts (SURVEY.md §2.1 "Coarse/Fine model config",
+provenance [RECALL] — mount empty).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+# KiTS19-style HU window + z-score stats (SURVEY.md §2.1 "Intensity
+# normalization", provenance [DOMAIN]). stats=None => per-volume z-score.
+DEFAULT_HU_WINDOW = (-79.0, 304.0)
+DEFAULT_HU_STATS = (100.93, 76.9)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    in_channels: int = 1
+    num_classes: int = 3  # bg / kidney / tumor
+    base_features: int = 32
+    max_features: int = 320
+    num_levels: int = 5  # encoder resolutions (incl. bottleneck)
+    negative_slope: float = 1e-2
+    norm_eps: float = 1e-5
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    spacing: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    hu_window: tuple[float, float] = DEFAULT_HU_WINDOW
+    # (mean, std) applied after clipping; None => per-volume z-score.
+    hu_stats: tuple[float, float] | None = DEFAULT_HU_STATS
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    patch_size: tuple[int, int, int] = (128, 128, 128)
+    batch_size: int = 2  # global batch (split across data-parallel devices)
+    fg_prob: float = 0.5  # foreground-biased patch sampling probability
+    steps: int = 25000
+    lr: float = 3e-4
+    weight_decay: float = 1e-5
+    warmup_steps: int = 500
+    lr_schedule: str = "poly"  # poly | cosine | const
+    poly_power: float = 0.9
+    grad_accum: int = 1
+    seed: int = 0
+    ckpt_every: int = 1000
+    val_every: int = 1000
+    keep_checkpoints: int = 3
+    augment: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    patch_size: tuple[int, int, int] = (128, 128, 128)
+    overlap: float = 0.5  # stride = patch * (1 - overlap)
+    sigma_scale: float = 0.125  # gaussian importance sigma = size * scale
+    window_batch: int = 1  # windows evaluated per device step
+    use_gaussian: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    roi_margin_mm: float = 16.0  # margin around coarse kidney bbox
+    roi_bucket: int = 32  # ROI dims rounded up to multiples (recompile guard)
+    max_components: int = 2  # keep <=2 largest kidney CCs
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    name: str = "fine_kits"
+    model: ModelConfig = ModelConfig()
+    preprocess: PreprocessConfig = PreprocessConfig()
+    train: TrainConfig = TrainConfig()
+    infer: InferConfig = InferConfig()
+    cascade: CascadeConfig = CascadeConfig()
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+
+        def build(cls: Any, d: dict) -> Any:
+            kwargs = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in _SUB:
+                    kwargs[f.name] = build(_SUB[f.name], v)
+                elif isinstance(v, list):
+                    kwargs[f.name] = tuple(v)
+                else:
+                    kwargs[f.name] = v
+            return cls(**kwargs)
+
+        _SUB = {
+            "model": ModelConfig,
+            "preprocess": PreprocessConfig,
+            "train": TrainConfig,
+            "infer": InferConfig,
+            "cascade": CascadeConfig,
+        }
+        return build(Config, raw)
+
+
+def _preset_coarse() -> Config:
+    """BASELINE config 1: coarse kidney-localization net, 128³ patch."""
+    return Config(
+        name="coarse",
+        model=ModelConfig(num_classes=2, base_features=24, num_levels=4),
+        preprocess=PreprocessConfig(spacing=(3.2, 3.2, 3.2)),
+        train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5),
+        infer=InferConfig(patch_size=(128, 128, 128), overlap=0.5),
+    )
+
+
+def _preset_fine_kits() -> Config:
+    """BASELINE config 2: fine kidney+tumor net with sliding-window."""
+    return Config(
+        name="fine_kits",
+        model=ModelConfig(num_classes=3),
+        preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
+        train=TrainConfig(patch_size=(128, 128, 128)),
+        infer=InferConfig(patch_size=(128, 128, 128)),
+    )
+
+
+def _preset_cascade() -> Config:
+    """BASELINE config 3: coarse→ROI→fine cascade, resample to native."""
+    cfg = _preset_fine_kits()
+    return dataclasses.replace(cfg, name="cascade")
+
+
+def _preset_renal_anatomy() -> Config:
+    """BASELINE config 4: kidney/tumor/artery/vein multi-class."""
+    return Config(
+        name="renal_anatomy",
+        model=ModelConfig(num_classes=5),
+        preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
+        train=TrainConfig(patch_size=(128, 128, 128)),
+        infer=InferConfig(patch_size=(128, 128, 128)),
+    )
+
+
+def _preset_dp_full() -> Config:
+    """BASELINE config 5: data-parallel training over full KiTS19."""
+    cfg = _preset_fine_kits()
+    return dataclasses.replace(
+        cfg,
+        name="dp_full",
+        train=dataclasses.replace(cfg.train, batch_size=8, steps=250000),
+    )
+
+
+PRESETS = {
+    "coarse": _preset_coarse,
+    "fine_kits": _preset_fine_kits,
+    "cascade": _preset_cascade,
+    "renal_anatomy": _preset_renal_anatomy,
+    "dp_full": _preset_dp_full,
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()
