@@ -1,0 +1,78 @@
+"""Host-side async prefetch feeding the device (SURVEY.md §2.2 table:
+"torch DataLoader worker pool" → "host-side async prefetch").
+
+A background thread draws patch batches with numpy while the device computes;
+batches are queued and transferred with ``jax.device_put`` (optionally with a
+``NamedSharding`` so each data-parallel device receives only its shard).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from collections.abc import Iterator
+
+import jax
+import numpy as np
+
+from runet_tpu.data.dataset import PreparedCase
+from runet_tpu.data.sampler import sample_batch
+
+
+class PatchLoader:
+    """Infinite iterator of device-resident (images, labels) batches."""
+
+    def __init__(
+        self,
+        cases: list[PreparedCase],
+        batch_size: int,
+        patch_size: tuple[int, int, int],
+        fg_prob: float = 0.5,
+        seed: int = 0,
+        prefetch: int = 2,
+        sharding=None,
+    ):
+        self.cases = cases
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.fg_prob = fg_prob
+        self.sharding = sharding
+        self._rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = sample_batch(
+                self._rng, self.cases, self.batch_size, self.patch_size, self.fg_prob
+            )
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        images, labels = self._q.get()
+        if self.sharding is not None:
+            images = jax.device_put(images, self.sharding)
+            labels = jax.device_put(labels, self.sharding)
+        else:
+            images = jax.device_put(images)
+            labels = jax.device_put(labels)
+        return images, labels
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)

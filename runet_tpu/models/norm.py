@@ -1,0 +1,50 @@
+"""InstanceNorm3D for NDHWC tensors (SURVEY.md §7 risk list).
+
+Semantics pinned against the torch-CPU oracle (tests/test_model.py):
+per-(sample, channel) mean/var over spatial dims, SAME at train and eval (no
+running stats) — matching ``torch.nn.InstanceNorm3d`` as used by the
+reference's Conv3D+InstanceNorm+LeakyReLU blocks (BASELINE.json north_star).
+Stats are computed in float32 regardless of compute dtype (bf16-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class InstanceNorm(nn.Module):
+    eps: float = 1e-5
+    affine: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, D, H, W, C); stats over spatial dims in f32.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+def instance_norm_reference(x, scale=None, bias=None, eps: float = 1e-5):
+    """Pure-function oracle (numpy/jnp) for kernel parity tests."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    y = (xf - mean) / jnp.sqrt(var + eps)
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y

@@ -1,0 +1,154 @@
+"""Flax 3D U-Net (SURVEY.md L3, §2.1 "3D U-Net"; BASELINE.json north_star).
+
+Architecture contract (reference form was a torch.nn.Module — provenance
+[RECALL], mount empty): encoder-decoder where each resolution block is
+(Conv3D → InstanceNorm → LeakyReLU) ×2, downsampling by strided conv,
+upsampling by transpose conv, skip concatenation, 1×1×1 head → class logits.
+
+TPU-first choices:
+- NDHWC layout: channels ride the 128-wide lane dimension; XLA maps the 3D
+  convs onto the MXU as implicit GEMMs.
+- bf16 compute / f32 params; the logits head and all norm statistics are f32.
+- Channel widths doubled per level and capped (nnU-Net-style), all multiples
+  of 8 to keep MXU tiles full.
+- No Python control flow on traced values; depth/width are static config.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from runet_tpu.config import ModelConfig
+from runet_tpu.models.norm import InstanceNorm
+
+
+class ConvNormAct(nn.Module):
+    features: int
+    strides: tuple[int, int, int] = (1, 1, 1)
+    negative_slope: float = 1e-2
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3, 3),
+            strides=self.strides,
+            padding="SAME",
+            use_bias=False,  # bias is redundant under instance norm
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = InstanceNorm(eps=self.norm_eps, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class EncoderBlock(nn.Module):
+    features: int
+    downsample: bool
+    negative_slope: float = 1e-2
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stride = (2, 2, 2) if self.downsample else (1, 1, 1)
+        kw = dict(
+            negative_slope=self.negative_slope,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        x = ConvNormAct(self.features, strides=stride, **kw)(x)
+        x = ConvNormAct(self.features, **kw)(x)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    features: int
+    negative_slope: float = 1e-2
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(2, 2, 2),
+            strides=(2, 2, 2),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        kw = dict(
+            negative_slope=self.negative_slope,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        x = ConvNormAct(self.features, **kw)(x)
+        x = ConvNormAct(self.features, **kw)(x)
+        return x
+
+
+def level_features(cfg: ModelConfig) -> Sequence[int]:
+    return [min(cfg.base_features * (2**i), cfg.max_features) for i in range(cfg.num_levels)]
+
+
+class UNet3D(nn.Module):
+    """cfg-driven 3D U-Net. Input (B, D, H, W, C_in) → logits (B, D, H, W, K).
+
+    Spatial dims must be divisible by 2**(num_levels - 1).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        param_dtype = jnp.dtype(cfg.param_dtype)
+        feats = level_features(cfg)
+        kw = dict(
+            negative_slope=cfg.negative_slope,
+            norm_eps=cfg.norm_eps,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+
+        x = x.astype(dtype)
+        skips = []
+        for lvl, f in enumerate(feats):
+            x = EncoderBlock(f, downsample=lvl > 0, **kw)(x)
+            if lvl < len(feats) - 1:
+                skips.append(x)
+
+        for lvl in reversed(range(len(feats) - 1)):
+            x = DecoderBlock(feats[lvl], **kw)(x, skips[lvl])
+
+        logits = nn.Conv(
+            cfg.num_classes,
+            kernel_size=(1, 1, 1),
+            dtype=jnp.float32,
+            param_dtype=param_dtype,
+        )(x.astype(jnp.float32))
+        return logits
+
+
+def create_model(cfg: ModelConfig) -> UNet3D:
+    return UNet3D(cfg)
+
+
+def init_params(model: UNet3D, rng, patch_size: tuple[int, int, int]):
+    import jax
+
+    x = jnp.zeros((1, *patch_size, model.cfg.in_channels), jnp.float32)
+    return jax.jit(model.init)(rng, x)["params"]

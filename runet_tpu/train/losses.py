@@ -1,0 +1,89 @@
+"""Dice + cross-entropy compound loss and Dice metrics (SURVEY.md L4).
+
+Reference form: PyTorch loss fns, soft Dice + CE sum, per-class Dice with
+background handling (SURVEY.md §2.1 "Loss", provenance [BASELINE]/[DOMAIN]).
+All math in float32 on (B, D, H, W, K) logits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def soft_dice_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    smooth: float = 1e-5,
+    include_background: bool = False,
+) -> jnp.ndarray:
+    """1 - mean soft Dice over classes (and batch).
+
+    Dice is computed per (sample, class) over spatial dims with additive
+    smoothing so absent classes contribute dice≈1 (no gradient noise from
+    empty patches).
+    """
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    axes = tuple(range(1, labels.ndim))  # spatial dims
+    intersect = jnp.sum(probs * onehot, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+    dice = (2.0 * intersect + smooth) / (denom + smooth)  # (B, K)
+    if not include_background:
+        dice = dice[:, 1:]
+    return 1.0 - jnp.mean(dice)
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(ll)
+
+
+def dice_ce_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    smooth: float = 1e-5,
+    include_background: bool = False,
+    ce_weight: float = 1.0,
+    dice_weight: float = 1.0,
+) -> tuple[jnp.ndarray, dict]:
+    dl = soft_dice_loss(logits, labels, smooth, include_background)
+    ce = cross_entropy_loss(logits, labels)
+    loss = dice_weight * dl + ce_weight * ce
+    return loss, {"loss": loss, "dice_loss": dl, "ce_loss": ce}
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def hard_dice_per_class(
+    pred_labels: jnp.ndarray, gt_labels: jnp.ndarray, num_classes: int
+) -> jnp.ndarray:
+    """Per-class Dice of an argmaxed prediction. Returns (K,) float32;
+    classes absent from BOTH pred and gt score 1.0."""
+    dices = []
+    for k in range(num_classes):
+        p = (pred_labels == k).astype(jnp.float32)
+        g = (gt_labels == k).astype(jnp.float32)
+        inter = jnp.sum(p * g)
+        denom = jnp.sum(p) + jnp.sum(g)
+        dices.append(jnp.where(denom > 0, 2.0 * inter / jnp.maximum(denom, 1e-8), 1.0))
+    return jnp.stack(dices)
+
+
+def kits_composite_dice(pred_labels, gt_labels) -> dict:
+    """KiTS19-style eval (SURVEY.md §3.4): kidney composite = classes {1,2}
+    merged; tumor = class 2."""
+    pk = (pred_labels >= 1).astype(jnp.float32)
+    gk = (gt_labels >= 1).astype(jnp.float32)
+    inter = jnp.sum(pk * gk)
+    denom = jnp.sum(pk) + jnp.sum(gk)
+    kidney = jnp.where(denom > 0, 2 * inter / jnp.maximum(denom, 1e-8), 1.0)
+    pt = (pred_labels == 2).astype(jnp.float32)
+    gt = (gt_labels == 2).astype(jnp.float32)
+    inter_t = jnp.sum(pt * gt)
+    denom_t = jnp.sum(pt) + jnp.sum(gt)
+    tumor = jnp.where(denom_t > 0, 2 * inter_t / jnp.maximum(denom_t, 1e-8), 1.0)
+    return {"kidney_composite": kidney, "tumor": tumor}

@@ -1,0 +1,89 @@
+"""Train state, optimizer, LR schedules (SURVEY.md §2.1 "Training loop").
+
+Reference: Adam/SGD with an LR schedule, hand-rolled loop (provenance
+[DOMAIN]). Rebuild: optax AdamW + global-norm clipping; poly/cosine/const
+schedules with linear warmup; optax.MultiSteps for gradient accumulation
+(SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from runet_tpu.config import TrainConfig
+
+
+def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    if cfg.lr_schedule == "const":
+        sched = optax.constant_schedule(cfg.lr)
+    elif cfg.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(cfg.lr, max(cfg.steps - cfg.warmup_steps, 1))
+    elif cfg.lr_schedule == "poly":
+        sched = optax.polynomial_schedule(
+            init_value=cfg.lr,
+            end_value=cfg.lr * 1e-3,
+            power=cfg.poly_power,
+            transition_steps=max(cfg.steps - cfg.warmup_steps, 1),
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        sched = optax.join_schedules([warmup, sched], [cfg.warmup_steps])
+    return sched
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(12.0),
+        optax.adamw(make_lr_schedule(cfg), weight_decay=cfg.weight_decay),
+    )
+    if cfg.grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(model, params, cfg: TrainConfig) -> TrainState:
+    return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
+
+
+def make_train_step(model, include_background_dice: bool = False):
+    """Single fused fwd+bwd+update step; jit with donated state.
+
+    Works unsharded on one device and data-parallel under GSPMD when the
+    batch carries a ``data``-axis NamedSharding (parallel/comm.py) — XLA
+    inserts the gradient all-reduce (SURVEY.md §3.1 rebuild equivalent).
+    """
+    from runet_tpu.train.losses import dice_ce_loss
+
+    def loss_fn(params, images, labels):
+        logits = model.apply({"params": params}, images)
+        loss, aux = dice_ce_loss(logits, labels, include_background=include_background_dice)
+        return loss, aux
+
+    def train_step(state: TrainState, images, labels):
+        grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
+        gnorm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        aux = dict(aux, grad_norm=gnorm)
+        return state, aux
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, num_classes: int):
+    from runet_tpu.train.losses import hard_dice_per_class
+
+    def eval_step(params, images, labels):
+        logits = model.apply({"params": params}, images)
+        pred = jnp.argmax(logits, axis=-1)
+        return hard_dice_per_class(pred, labels, num_classes)
+
+    return jax.jit(eval_step)

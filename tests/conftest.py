@@ -11,3 +11,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Something in this image's site config pins JAX_PLATFORMS=axon (the TPU
+# tunnel plugin) regardless of the env var, so pin the platform explicitly
+# too — must happen before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,115 @@
+import numpy as np
+
+import jax
+
+from runet_tpu.config import PreprocessConfig
+from runet_tpu.data.augment import augment_batch
+from runet_tpu.data.dataset import index_cases, prepare_case, prepare_dataset
+from runet_tpu.data.phantom import make_phantom, write_phantom_dataset
+from runet_tpu.data.pipeline import PatchLoader
+from runet_tpu.data.sampler import sample_batch, sample_patch
+
+
+def test_phantom_basic():
+    img, seg = make_phantom((48, 48, 32), num_classes=3, seed=0)
+    assert img.shape == (48, 48, 32) and seg.shape == (48, 48, 32)
+    assert set(np.unique(seg)) == {0, 1, 2}
+    assert img[seg == 1].mean() > 0  # kidney HU ~30
+    assert img[0, 0, 0] < -500  # air outside body
+
+
+def test_phantom_renal_anatomy_classes():
+    _, seg = make_phantom((48, 48, 32), num_classes=5, seed=1)
+    assert set(np.unique(seg)) == {0, 1, 2, 3, 4}
+
+
+def test_dataset_roundtrip(tmp_path):
+    ids = write_phantom_dataset(tmp_path, num_cases=2, shape=(40, 40, 24))
+    recs = index_cases(tmp_path)
+    assert [r.case_id for r in recs] == ids
+    pp = PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None)
+    case = prepare_case(recs[0], pp)
+    # native (40,40,24) @ (1,1,2)mm -> (20,20,24) @ 2mm iso
+    assert case.image.shape == (20, 20, 24)
+    assert case.labels.shape == (20, 20, 24)
+    assert case.native_shape == (40, 40, 24)
+    assert 1 in case.fg_coords and 2 in case.fg_coords
+    # fg coords actually index the class
+    c = case.fg_coords[1][0]
+    assert case.labels[c[0], c[1], c[2]] == 1
+
+
+def test_sampler_fg_bias(tmp_path):
+    write_phantom_dataset(tmp_path, num_cases=1, shape=(64, 64, 40))
+    pp = PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None)
+    cases = prepare_dataset(tmp_path, pp)
+    rng = np.random.default_rng(0)
+    # With fg_prob=1 every patch center region must contain foreground.
+    hits = 0
+    for _ in range(20):
+        img, lab = sample_patch(rng, cases[0], (24, 24, 24), fg_prob=1.0)
+        assert img.shape == (24, 24, 24) and lab.shape == (24, 24, 24)
+        if (lab > 0).any():
+            hits += 1
+    assert hits == 20
+    # Tumor must appear in a decent fraction (class-balanced pick).
+    tumor = sum(
+        (sample_patch(rng, cases[0], (24, 24, 24), fg_prob=1.0)[1] == 2).any()
+        for _ in range(30)
+    )
+    assert tumor >= 10
+
+
+def test_sampler_patch_larger_than_volume(tmp_path):
+    write_phantom_dataset(tmp_path, num_cases=1, shape=(20, 20, 12))
+    pp = PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None)
+    cases = prepare_dataset(tmp_path, pp)
+    rng = np.random.default_rng(1)
+    img, lab = sample_patch(rng, cases[0], (32, 32, 32), fg_prob=0.5)
+    assert img.shape == (32, 32, 32)
+    assert lab.shape == (32, 32, 32)
+
+
+def test_sample_batch_layout(tmp_path):
+    write_phantom_dataset(tmp_path, num_cases=2, shape=(32, 32, 24))
+    pp = PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None)
+    cases = prepare_dataset(tmp_path, pp)
+    rng = np.random.default_rng(2)
+    images, labels = sample_batch(rng, cases, 3, (16, 16, 16))
+    assert images.shape == (3, 16, 16, 16, 1) and images.dtype == np.float32
+    assert labels.shape == (3, 16, 16, 16) and labels.dtype == np.int32
+
+
+def test_augment_shapes_and_label_consistency():
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32)
+    labels = (rng.uniform(size=(2, 16, 16, 16)) < 0.2).astype(np.int32)
+    key = jax.random.key(0)
+    out_img, out_lab = augment_batch(key, images, labels)
+    assert out_img.shape == images.shape
+    assert out_lab.shape == labels.shape
+    # Geometric ops permute voxels: label voxel count is invariant.
+    assert int(np.asarray(out_lab).sum()) == int(labels.sum())
+
+
+def test_augment_deterministic_given_key():
+    images = np.ones((1, 8, 8, 8, 1), np.float32)
+    labels = np.zeros((1, 8, 8, 8), np.int32)
+    key = jax.random.key(7)
+    a1, _ = augment_batch(key, images.copy(), labels.copy())
+    a2, _ = augment_batch(key, images.copy(), labels.copy())
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_patch_loader(tmp_path):
+    write_phantom_dataset(tmp_path, num_cases=1, shape=(32, 32, 24))
+    pp = PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None)
+    cases = prepare_dataset(tmp_path, pp)
+    loader = PatchLoader(cases, batch_size=2, patch_size=(16, 16, 16), seed=0)
+    try:
+        images, labels = next(loader)
+        assert images.shape == (2, 16, 16, 16, 1)
+        assert labels.shape == (2, 16, 16, 16)
+        assert isinstance(images, jax.Array)
+    finally:
+        loader.close()

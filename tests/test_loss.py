@@ -1,0 +1,82 @@
+import numpy as np
+
+import jax.numpy as jnp
+
+from runet_tpu.train.losses import (
+    cross_entropy_loss,
+    dice_ce_loss,
+    hard_dice_per_class,
+    kits_composite_dice,
+    soft_dice_loss,
+)
+
+
+def _logits_for(labels, num_classes, confidence=20.0):
+    onehot = np.eye(num_classes)[labels]
+    return (onehot * confidence).astype(np.float32)
+
+
+def test_perfect_prediction_near_zero_loss():
+    labels = np.zeros((1, 4, 4, 4), np.int32)
+    labels[0, 1:3, 1:3, 1:3] = 1
+    logits = _logits_for(labels, 2)
+    loss, aux = dice_ce_loss(jnp.asarray(logits), jnp.asarray(labels))
+    assert float(loss) < 1e-3
+    assert float(aux["ce_loss"]) < 1e-3
+    assert float(aux["dice_loss"]) < 1e-3
+
+
+def test_wrong_prediction_high_loss():
+    labels = np.zeros((1, 4, 4, 4), np.int32)
+    labels[0, :2] = 1
+    wrong = 1 - labels
+    logits = _logits_for(wrong, 2)
+    loss, _ = dice_ce_loss(jnp.asarray(logits), jnp.asarray(labels))
+    assert float(loss) > 1.5
+
+
+def test_soft_dice_hand_computed():
+    # 2 voxels, 2 classes; probs = softmax([[10,0],[0,10]]) ~ [1,0],[0,1]
+    labels = np.array([[0, 1]], np.int32)  # (B=1, N=2)
+    logits = np.array([[[10.0, 0.0], [0.0, 10.0]]], np.float32)
+    # class1: intersect=1, denom=1+1 -> dice=1 -> loss~0
+    loss = soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels))
+    assert float(loss) < 1e-3
+
+
+def test_ce_matches_manual():
+    labels = np.array([[0, 1]], np.int32)
+    logits = np.array([[[1.0, 0.0], [0.0, 1.0]]], np.float32)
+    want = -np.log(np.exp(1) / (np.exp(1) + 1))
+    got = cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_absent_class_dice_smooth():
+    # Class 1 absent in both gt and pred -> dice term ~1, loss ~0.
+    labels = np.zeros((1, 3, 3, 3), np.int32)
+    logits = _logits_for(labels, 3)
+    loss = soft_dice_loss(jnp.asarray(logits), jnp.asarray(labels))
+    assert float(loss) < 1e-3
+
+
+def test_hard_dice_per_class():
+    gt = np.zeros((4, 4, 4), np.int32)
+    gt[:2] = 1
+    pred = np.zeros((4, 4, 4), np.int32)
+    pred[:2, :2] = 1
+    d = np.asarray(hard_dice_per_class(jnp.asarray(pred), jnp.asarray(gt), 3))
+    # class1: inter=16, sums 32+16 -> 2*16/48
+    np.testing.assert_allclose(d[1], 2 * 16 / 48, rtol=1e-6)
+    assert d[2] == 1.0  # absent everywhere
+    assert 0 < d[0] < 1
+
+
+def test_kits_composite():
+    gt = np.zeros((4, 4, 4), np.int32)
+    gt[:2] = 1
+    gt[0, 0] = 2
+    pred = gt.copy()
+    out = kits_composite_dice(jnp.asarray(pred), jnp.asarray(gt))
+    assert float(out["kidney_composite"]) == 1.0
+    assert float(out["tumor"]) == 1.0

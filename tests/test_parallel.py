@@ -1,0 +1,78 @@
+"""DP correctness on a fake 8-device CPU mesh (SURVEY.md §4.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runet_tpu.config import ModelConfig, TrainConfig
+from runet_tpu.models.unet3d import UNet3D, init_params
+from runet_tpu.parallel import comm
+from runet_tpu.parallel.dp import make_dp_train_step
+from runet_tpu.train.state import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    cfg = ModelConfig(num_classes=2, base_features=4, num_levels=2, compute_dtype="float32")
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=0, lr_schedule="const", weight_decay=0.0)
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (8, 8, 8))
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(8, 8, 8, 8, 1)).astype(np.float32)
+    labels = (rng.uniform(size=(8, 8, 8, 8)) < 0.3).astype(np.int32)
+    return cfg, tcfg, model, params, images, labels
+
+
+def test_mesh_helpers():
+    mesh = comm.make_mesh(8)
+    assert mesh.axis_names == (comm.DATA_AXIS,)
+    assert mesh.devices.shape == (8,)
+    sh = comm.batch_sharding(mesh, 5)
+    assert sh.spec[0] == comm.DATA_AXIS
+
+
+def test_dp_grads_match_single_device(setup):
+    cfg, tcfg, model, params, images, labels = setup
+
+    # Single-device step on the full global batch.
+    state1 = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    step1 = make_train_step(model)
+    state1, aux1 = step1(state1, jnp.asarray(images), jnp.asarray(labels))
+
+    # shard_map DP over 8 fake devices, same global batch.
+    mesh = comm.make_mesh(8)
+    state8 = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    state8 = comm.replicate(mesh, state8)
+    im8, lab8 = comm.shard_batch(mesh, (images, labels))
+    step8 = make_dp_train_step(model, mesh)
+    state8, aux8 = step8(state8, im8, lab8)
+
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p8 = jax.tree_util.tree_leaves(jax.device_get(state8.params))
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_gspmd_jit_matches_shard_map(setup):
+    cfg, tcfg, model, params, images, labels = setup
+    mesh = comm.make_mesh(8)
+
+    state_g = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    state_g = comm.replicate(mesh, state_g)
+    im, lab = comm.shard_batch(mesh, (images, labels))
+    step_g = make_train_step(model)
+    state_g, aux_g = step_g(state_g, im, lab)
+
+    state_s = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    state_s = comm.replicate(mesh, state_s)
+    step_s = make_dp_train_step(model, mesh)
+    state_s, aux_s = step_s(state_s, im, lab)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state_g.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state_s.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
