@@ -114,6 +114,13 @@ class UNet3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        divisor = 2 ** (cfg.num_levels - 1)
+        bad = [d for d in x.shape[1:4] if d % divisor != 0]
+        if bad:
+            raise ValueError(
+                f"spatial dims {x.shape[1:4]} must be divisible by "
+                f"2**(num_levels-1)={divisor} for skip concatenation"
+            )
         dtype = jnp.dtype(cfg.compute_dtype)
         param_dtype = jnp.dtype(cfg.param_dtype)
         feats = level_features(cfg)

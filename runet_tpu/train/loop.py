@@ -1,0 +1,159 @@
+"""Training loop (SURVEY.md L5, §3.1 rebuild form).
+
+One jitted ``train_step`` (fwd+bwd+update) fed by the host prefetch loader;
+the host↔device boundary is a single sharded ``device_put`` per step. Data
+parallelism comes from the batch's ``data``-axis sharding (GSPMD) or the
+explicit ``shard_map`` step — both validated equal in tests/test_parallel.py.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from runet_tpu.config import Config
+from runet_tpu.data.augment import augment_batch
+from runet_tpu.data.dataset import PreparedCase, prepare_dataset
+from runet_tpu.data.pipeline import PatchLoader
+from runet_tpu.data.sampler import sample_batch
+from runet_tpu.models.unet3d import UNet3D, init_params
+from runet_tpu.parallel import comm
+from runet_tpu.train.checkpoint import CheckpointManager
+from runet_tpu.train.metrics import MetricsLogger
+from runet_tpu.train.state import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def validate_patches(
+    eval_step,
+    params,
+    cases: list[PreparedCase],
+    patch_size,
+    num_classes: int,
+    n_patches: int = 8,
+    seed: int = 0,
+):
+    """Cheap patch-based validation: mean per-class hard Dice over fg-biased
+    patches. (Full sliding-window eval lives in eval/evaluate.py.)"""
+    rng = np.random.default_rng(seed)
+    dices = []
+    for _ in range(n_patches):
+        images, labels = sample_batch(rng, cases, 1, patch_size, fg_prob=1.0)
+        d = eval_step(params, jnp.asarray(images), jnp.asarray(labels))
+        dices.append(np.asarray(d))
+    mean = np.stack(dices).mean(axis=0)
+    fg_mean = float(mean[1:].mean()) if num_classes > 1 else float(mean.mean())
+    return fg_mean, mean
+
+
+def train(
+    cfg: Config,
+    data_root: str | Path | None = None,
+    out_dir: str | Path = "runs/run0",
+    cases: list[PreparedCase] | None = None,
+    val_cases: list[PreparedCase] | None = None,
+    max_steps: int | None = None,
+    mesh=None,
+    resume: bool = False,
+    log_every: int = 50,
+):
+    """Train a model per config; returns (state, last_metrics)."""
+    out_dir = Path(out_dir)
+    steps = max_steps if max_steps is not None else cfg.train.steps
+
+    if cases is None:
+        if data_root is None:
+            raise ValueError("need data_root or cases")
+        cases = prepare_dataset(data_root, cfg.preprocess)
+    if not cases:
+        raise ValueError("no cases found")
+    if val_cases is None:
+        if len(cases) >= 5:
+            n_val = max(1, len(cases) // 10)
+            val_cases, cases = cases[-n_val:], cases[:-n_val]
+        else:
+            val_cases = cases  # tiny/smoke runs validate on train cases
+
+    batch = cfg.train.batch_size
+    if mesh is None:
+        # Largest device count that divides the global batch.
+        n_avail = len(jax.devices())
+        n_dev = max(d for d in range(1, n_avail + 1) if batch % d == 0)
+        mesh = comm.make_mesh(n_dev)
+    n_dev = mesh.devices.size
+    if batch % n_dev != 0:
+        raise ValueError(f"global batch {batch} not divisible by {n_dev} devices")
+
+    model = UNet3D(cfg.model)
+    rng_key = jax.random.key(cfg.train.seed)
+    params = init_params(model, rng_key, cfg.train.patch_size)
+    state = create_train_state(model, params, cfg.train)
+    state = comm.replicate(mesh, state)
+
+    ckpt = CheckpointManager(out_dir / "ckpt", keep=cfg.train.keep_checkpoints)
+    start_step = 0
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+
+    logger = MetricsLogger(out_dir)
+    logger.write_config(cfg.to_json())
+
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model, cfg.model.num_classes)
+
+    sharding = comm.batch_sharding(mesh, 5)
+    loader = PatchLoader(
+        cases,
+        batch_size=batch,
+        patch_size=cfg.train.patch_size,
+        fg_prob=cfg.train.fg_prob,
+        seed=cfg.train.seed,
+        sharding=None,  # put both tensors with their own shardings below
+    )
+
+    aux = {}
+    t_last = time.monotonic()
+    try:
+        for step in range(start_step, steps):
+            images, labels = next(loader)
+            images = jax.device_put(images, sharding)
+            labels = jax.device_put(labels, comm.batch_sharding(mesh, 4))
+            if cfg.train.augment:
+                akey = jax.random.fold_in(rng_key, step)
+                images, labels = augment_batch(akey, images, labels)
+            state, aux = train_step(state, images, labels)
+
+            if (step + 1) % log_every == 0 or step + 1 == steps:
+                aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
+                dt = time.monotonic() - t_last
+                n = log_every if (step + 1) % log_every == 0 else (step % log_every) + 1
+                logger.log(step + 1, imgs_per_s=batch * n / dt, **aux_host)
+                t_last = time.monotonic()
+
+            if (step + 1) % cfg.train.val_every == 0 or step + 1 == steps:
+                val_dice, per_class = validate_patches(
+                    eval_step, state.params, val_cases,
+                    cfg.train.patch_size, cfg.model.num_classes,
+                )
+                logger.log(
+                    step + 1,
+                    val_dice=val_dice,
+                    **{f"val_dice_c{k}": float(v) for k, v in enumerate(per_class)},
+                )
+                ckpt.save(step + 1, jax.device_get(state), metrics={"val_dice": val_dice})
+            elif (step + 1) % cfg.train.ckpt_every == 0:
+                ckpt.save(step + 1, jax.device_get(state), metrics={"val_dice": -1.0})
+    finally:
+        loader.close()
+        ckpt.wait()
+        logger.close()
+
+    return state, aux

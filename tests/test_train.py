@@ -1,0 +1,117 @@
+"""Training subsystem tests (SURVEY.md §4.3, §4.5)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runet_tpu.config import Config, ModelConfig, PreprocessConfig, TrainConfig, get_config
+from runet_tpu.data.phantom import write_phantom_dataset
+from runet_tpu.models.unet3d import UNet3D, init_params
+from runet_tpu.train.checkpoint import CheckpointManager
+from runet_tpu.train.loop import train
+from runet_tpu.train.state import create_train_state, make_lr_schedule, make_train_step
+
+
+def tiny_config(tmp=None, **tr):
+    train_kw = dict(
+        patch_size=(16, 16, 16),
+        batch_size=2,
+        steps=30,
+        lr=1e-2,
+        warmup_steps=5,
+        val_every=30,
+        ckpt_every=30,
+        augment=False,
+        weight_decay=0.0,
+    )
+    train_kw.update(tr)
+    return Config(
+        name="tiny",
+        model=ModelConfig(num_classes=3, base_features=8, num_levels=2, compute_dtype="float32"),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=TrainConfig(**train_kw),
+    )
+
+
+def test_lr_schedule_shapes():
+    cfg = TrainConfig(lr=1e-3, warmup_steps=10, steps=100, lr_schedule="poly")
+    s = make_lr_schedule(cfg)
+    assert float(s(0)) == 0.0
+    assert float(s(10)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(s(100)) < 1e-4
+
+
+def test_overfit_single_patch():
+    # SURVEY §4.3: loss -> ~0 overfitting one patch.
+    cfg = ModelConfig(num_classes=2, base_features=8, num_levels=2, compute_dtype="float32")
+    tcfg = TrainConfig(lr=3e-3, warmup_steps=0, lr_schedule="const", weight_decay=0.0)
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (16, 16, 16))
+    state = create_train_state(model, params, tcfg)
+    step = make_train_step(model)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    labels = np.zeros((1, 16, 16, 16), np.int32)
+    labels[0, 4:12, 4:12, 4:12] = 1
+    labels = jnp.asarray(labels)
+
+    losses = []
+    for _ in range(120):
+        state, aux = step(state, images, labels)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < 0.15, f"did not overfit: {losses[::20]}"
+    assert losses[-1] < losses[0] * 0.2
+
+
+def test_train_loop_end_to_end(tmp_path):
+    write_phantom_dataset(tmp_path / "data", num_cases=2, shape=(48, 48, 32))
+    cfg = tiny_config()
+    state, aux = train(
+        cfg,
+        data_root=tmp_path / "data",
+        out_dir=tmp_path / "run",
+        max_steps=12,
+        log_every=6,
+    )
+    assert int(state.step) == 12
+    assert np.isfinite(float(aux["loss"]))
+    # Metrics JSONL written with throughput + val dice.
+    lines = [json.loads(l) for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert any("imgs_per_s" in l for l in lines)
+    assert any("val_dice" in l for l in lines)
+    # Config serialized.
+    assert (tmp_path / "run" / "config.json").exists()
+    rt = Config.from_json((tmp_path / "run" / "config.json").read_text())
+    assert rt.train.patch_size == (16, 16, 16)
+    # Checkpoint written and restorable.
+    ckpt = CheckpointManager(tmp_path / "run" / "ckpt")
+    assert ckpt.latest_step() == 12
+
+
+def test_train_resume(tmp_path):
+    write_phantom_dataset(tmp_path / "data", num_cases=1, shape=(40, 40, 24))
+    cfg = tiny_config()
+    train(cfg, data_root=tmp_path / "data", out_dir=tmp_path / "run", max_steps=6, log_every=3)
+    state, _ = train(
+        cfg,
+        data_root=tmp_path / "data",
+        out_dir=tmp_path / "run",
+        max_steps=10,
+        resume=True,
+        log_every=5,
+    )
+    assert int(state.step) == 10
+
+
+def test_config_presets_cover_baseline():
+    # BASELINE.json configs 1-5.
+    assert get_config("coarse").model.num_classes == 2
+    assert get_config("fine_kits").model.num_classes == 3
+    assert get_config("cascade").name == "cascade"
+    assert get_config("renal_anatomy").model.num_classes == 5
+    assert get_config("dp_full").train.batch_size >= 8
