@@ -1,0 +1,171 @@
+"""Benchmark harness (SURVEY.md §6, §7 step 10).
+
+Measures the BASELINE metric of record — KiTS19-scale volumes/min through the
+full coarse→fine cascade (preprocess → coarse localize → ROI fine seg →
+native-grid resample → CC postprocess) — and prints ONE JSON line:
+
+    {"metric": "cascade_volumes_per_min", "value": N, "unit": "volumes/min",
+     "vs_baseline": N}
+
+``vs_baseline`` is against the BASELINE.json north star of <10 s/volume
+(= 6 volumes/min) on one TPU v5e chip; >1.0 beats it.
+
+Setup: a KiTS19-sized CT phantom (512×512×160 @ 0.78×0.78×3.0 mm). Both
+cascade stages are briefly trained on phantom patches (params cached in /tmp)
+so the coarse mask — and therefore ROI sizes and fine-stage work — is
+realistic. Timing covers the full predict_case path, host↔device transfers
+included.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+CASE_SHAPE = (512, 512, 160)
+CASE_SPACING = (0.78125, 0.78125, 3.0)
+TRAIN_STEPS = 120
+
+
+def make_case(seed=0):
+    from runet_tpu.data.phantom import make_phantom
+
+    cache = Path(f"/tmp/runet_bench_case_{seed}_{CASE_SHAPE[0]}x{CASE_SHAPE[2]}.npz")
+    if cache.exists():
+        z = np.load(cache)
+        return z["img"], z["seg"]
+    img, seg = make_phantom(CASE_SHAPE, CASE_SPACING, num_classes=3, seed=seed)
+    np.savez(cache, img=img, seg=seg)
+    return img, seg
+
+
+def _params_cache(name):
+    return Path(f"/tmp/runet_bench_params_{name}.npz")
+
+
+def _save_params(name, params):
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(params).items()}
+    np.savez(_params_cache(name), **flat)
+
+
+def _load_params(name):
+    from flax.traverse_util import unflatten_dict
+
+    p = _params_cache(name)
+    if not p.exists():
+        return None
+    z = np.load(p)
+    return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+
+
+def trained_bundle(preset: str, data_root: Path):
+    """Build a ModelBundle for a preset, briefly trained on the phantom."""
+    import jax
+
+    from runet_tpu.config import get_config
+    from runet_tpu.infer.cascade import ModelBundle
+    from runet_tpu.models.unet3d import UNet3D
+
+    cfg = get_config(preset)
+    model = UNet3D(cfg.model)
+    params = _load_params(preset)
+    if params is None:
+        import dataclasses
+
+        from runet_tpu.train.loop import train
+
+        tr = dataclasses.replace(
+            cfg.train, batch_size=1, steps=TRAIN_STEPS, warmup_steps=20,
+            val_every=10**9, ckpt_every=10**9, lr=1e-3,
+        )
+        bcfg = dataclasses.replace(cfg, train=tr)
+        state, _ = train(
+            bcfg, data_root=data_root, out_dir=f"/tmp/runet_bench_run_{preset}",
+            max_steps=TRAIN_STEPS, log_every=50,
+        )
+        params = jax.device_get(state.params)
+        _save_params(preset, params)
+
+    def apply_fn(p, w, _model=model):
+        return _model.apply({"params": p}, w)
+
+    return (
+        ModelBundle(
+            apply_fn=apply_fn,
+            params=jax.device_put(params),
+            num_classes=cfg.model.num_classes,
+            preprocess=cfg.preprocess,
+            infer=cfg.infer,
+        ),
+        cfg,
+    )
+
+
+def main():
+    from runet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from runet_tpu.data.phantom import write_phantom_dataset
+    from runet_tpu.eval.evaluate import evaluate_prediction
+    from runet_tpu.infer.cascade import predict_case
+
+    t_setup = time.monotonic()
+    dev = jax.devices()[0]
+    img, seg = make_case(seed=0)
+
+    data_root = Path("/tmp/runet_bench_train_data")
+    if not data_root.exists():
+        write_phantom_dataset(
+            data_root, num_cases=2, shape=(256, 256, 120), spacing=CASE_SPACING,
+            num_classes=3,
+        )
+
+    coarse, coarse_cfg = trained_bundle("coarse", data_root)
+    fine, fine_cfg = trained_bundle("fine_kits", data_root)
+    setup_s = time.monotonic() - t_setup
+
+    # Warm-up: compiles every cascade program for this case shape.
+    t_warm = time.monotonic()
+    pred = predict_case(coarse, fine, img, CASE_SPACING, fine_cfg.cascade)
+    warm_s = time.monotonic() - t_warm
+
+    n_iters = 3
+    t0 = time.monotonic()
+    for _ in range(n_iters):
+        pred = predict_case(coarse, fine, img, CASE_SPACING, fine_cfg.cascade)
+    total = time.monotonic() - t0
+    sec_per_volume = total / n_iters
+    vpm = 60.0 / sec_per_volume
+
+    quality = evaluate_prediction(pred, seg, fine.num_classes)
+
+    baseline_vpm = 6.0  # north star: <10 s/volume on 1x v5e
+    print(
+        json.dumps(
+            {
+                "metric": "cascade_volumes_per_min",
+                "value": round(vpm, 3),
+                "unit": "volumes/min",
+                "vs_baseline": round(vpm / baseline_vpm, 3),
+                "sec_per_volume": round(sec_per_volume, 3),
+                "setup_s": round(setup_s, 1),
+                "warmup_s": round(warm_s, 1),
+                "device": str(dev),
+                "case_shape": list(CASE_SHAPE),
+                "kidney_dice": round(quality["kidney_composite"], 4),
+                "tumor_dice": round(quality["tumor"], 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+// 3D connected-component labeling (6-connectivity) via union-find.
+//
+// Native runtime tier of the rebuild (SURVEY.md §2.2): the reference used
+// scipy.ndimage.label's C internals for postprocessing; this is the
+// equivalent first-party implementation, two-pass with path-compressed
+// union-find, exposed through ctypes (runet_tpu/utils/native.py).
+//
+// Row-major C-contiguous input: index(x, y, z) = (x*ny + y)*nz + z.
+
+#include <cstddef>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct UnionFind {
+  std::vector<int32_t> parent;
+
+  int32_t make() {
+    parent.push_back(static_cast<int32_t>(parent.size()));
+    return parent.back();
+  }
+
+  int32_t find(int32_t a) {
+    int32_t root = a;
+    while (parent[root] != root) root = parent[root];
+    while (parent[a] != root) {
+      int32_t next = parent[a];
+      parent[a] = root;
+      a = next;
+    }
+    return root;
+  }
+
+  void unite(int32_t a, int32_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return;
+    if (b < a) {
+      int32_t t = a;
+      a = b;
+      b = t;
+    }
+    parent[b] = a;  // smaller root wins
+  }
+};
+
+}  // namespace
+
+extern "C" int32_t label_components_3d(const uint8_t* mask, int32_t* out,
+                                       int64_t nx, int64_t ny, int64_t nz) {
+  const int64_t n = nx * ny * nz;
+  if (n <= 0) return 0;
+  UnionFind uf;
+  uf.parent.reserve(1024);
+
+  // First pass: provisional labels, union with -x/-y/-z neighbors.
+  for (int64_t x = 0; x < nx; ++x) {
+    for (int64_t y = 0; y < ny; ++y) {
+      const int64_t base = (x * ny + y) * nz;
+      for (int64_t z = 0; z < nz; ++z) {
+        const int64_t i = base + z;
+        if (!mask[i]) {
+          out[i] = -1;
+          continue;
+        }
+        int32_t label = -1;
+        if (z > 0 && out[i - 1] >= 0) label = out[i - 1];
+        if (y > 0 && out[i - nz] >= 0) {
+          if (label < 0) label = out[i - nz];
+          else uf.unite(label, out[i - nz]);
+        }
+        if (x > 0 && out[i - ny * nz] >= 0) {
+          if (label < 0) label = out[i - ny * nz];
+          else uf.unite(label, out[i - ny * nz]);
+        }
+        out[i] = label >= 0 ? label : uf.make();
+      }
+    }
+  }
+
+  // Compress roots to dense 1..K labels.
+  std::vector<int32_t> dense(uf.parent.size(), 0);
+  int32_t next_label = 0;
+  for (std::size_t p = 0; p < uf.parent.size(); ++p) {
+    if (uf.find(static_cast<int32_t>(p)) == static_cast<int32_t>(p)) {
+      dense[p] = ++next_label;
+    }
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = out[i] < 0 ? 0 : dense[uf.find(out[i])];
+  }
+  return next_label;
+}

@@ -1,0 +1,197 @@
+"""CLI entry points (SURVEY.md L9): ``python -m runet_tpu <cmd>``.
+
+Reference form: ad-hoc scripts + notebooks (provenance [RECALL]). Commands:
+
+- ``phantom``   — generate a synthetic KiTS19-layout dataset
+- ``train``     — train a preset config on a dataset
+- ``predict``   — segment cases (simple fine-model or full cascade)
+- ``evaluate``  — predict + Dice table against ground truth
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_bundle(run_dir: Path, cfg_override: str | None = None):
+    """Rebuild model + params from a training run dir (config.json + ckpt/)."""
+    import jax
+
+    from runet_tpu.config import Config, get_config
+    from runet_tpu.infer.cascade import ModelBundle
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.checkpoint import CheckpointManager
+    from runet_tpu.train.state import create_train_state
+
+    cfg_path = run_dir / "config.json"
+    if cfg_path.exists():
+        cfg = Config.from_json(cfg_path.read_text())
+    elif cfg_override:
+        cfg = get_config(cfg_override)
+    else:
+        raise FileNotFoundError(f"{cfg_path} missing and no --config given")
+
+    model = UNet3D(cfg.model)
+    params = init_params(model, jax.random.key(0), cfg.train.patch_size)
+    state = create_train_state(model, params, cfg.train)
+    ckpt = CheckpointManager(run_dir / "ckpt")
+    step = ckpt.best_step() or ckpt.latest_step()
+    state = ckpt.restore(state, step=step)
+
+    def apply_fn(p, w):
+        return model.apply({"params": p}, w)
+
+    return (
+        ModelBundle(
+            apply_fn=apply_fn,
+            params=state.params,
+            num_classes=cfg.model.num_classes,
+            preprocess=cfg.preprocess,
+            infer=cfg.infer,
+        ),
+        cfg,
+    )
+
+
+def cmd_phantom(args):
+    from runet_tpu.data.phantom import write_phantom_dataset
+
+    ids = write_phantom_dataset(
+        args.out,
+        num_cases=args.cases,
+        shape=tuple(args.shape),
+        spacing=tuple(args.spacing),
+        num_classes=args.classes,
+    )
+    print(f"wrote {len(ids)} cases to {args.out}")
+
+
+def cmd_train(args):
+    from runet_tpu.config import get_config
+    from runet_tpu.train.loop import train
+
+    cfg = get_config(args.config)
+    state, aux = train(
+        cfg,
+        data_root=args.data,
+        out_dir=args.out,
+        max_steps=args.steps,
+        resume=args.resume,
+    )
+    print(f"done at step {int(state.step)}; loss={float(aux['loss']):.4f}")
+
+
+def _iter_cases(data: Path):
+    from runet_tpu.data.dataset import index_cases
+    from runet_tpu.io.nifti import load_volume
+
+    if data.is_file():
+        vol = load_volume(data)
+        yield data.stem.replace(".nii", ""), vol, None
+        return
+    for rec in index_cases(data):
+        vol = load_volume(rec.image_path)
+        gt = load_volume(rec.label_path).data if rec.label_path else None
+        yield rec.case_id, vol, gt
+
+
+def cmd_predict(args):
+    from runet_tpu.infer.cascade import predict_case, predict_volume
+    from runet_tpu.io.nifti import save_volume
+
+    fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
+    coarse = None
+    if args.coarse:
+        coarse, _ = _load_bundle(Path(args.coarse))
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for cid, vol, _gt in _iter_cases(Path(args.data)):
+        if coarse is not None:
+            pred = predict_case(coarse, fine, vol.data, vol.spacing, fine_cfg.cascade)
+        else:
+            pred = predict_volume(fine, vol.data, vol.spacing)
+        save_volume(out_dir / f"{cid}.nii.gz", pred, vol.spacing, vol.affine)
+        print(f"{cid}: wrote {out_dir / f'{cid}.nii.gz'}")
+
+
+def cmd_evaluate(args):
+    from runet_tpu.eval.evaluate import evaluate_prediction
+    from runet_tpu.infer.cascade import predict_case, predict_volume
+
+    fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
+    coarse = None
+    if args.coarse:
+        coarse, _ = _load_bundle(Path(args.coarse))
+
+    rows = []
+    for cid, vol, gt in _iter_cases(Path(args.data)):
+        if gt is None:
+            print(f"{cid}: no ground truth, skipping", file=sys.stderr)
+            continue
+        if coarse is not None:
+            pred = predict_case(coarse, fine, vol.data, vol.spacing, fine_cfg.cascade)
+        else:
+            pred = predict_volume(fine, vol.data, vol.spacing)
+        row = evaluate_prediction(pred, np.asarray(gt), fine.num_classes)
+        row["case_id"] = cid
+        rows.append(row)
+        print(json.dumps(row))
+    if rows:
+        mean = {
+            k: float(np.mean([r[k] for r in rows]))
+            for k in rows[0]
+            if k != "case_id"
+        }
+        print(json.dumps({"summary": mean}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="runet_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("phantom", help="generate synthetic dataset")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--cases", type=int, default=3)
+    sp.add_argument("--shape", type=int, nargs=3, default=[96, 96, 64])
+    sp.add_argument("--spacing", type=float, nargs=3, default=[1.0, 1.0, 2.0])
+    sp.add_argument("--classes", type=int, default=3)
+    sp.set_defaults(fn=cmd_phantom)
+
+    sp = sub.add_parser("train", help="train a preset config")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--resume", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("predict", help="segment cases")
+    sp.add_argument("--data", required=True, help="case dir or single .nii(.gz)")
+    sp.add_argument("--fine", required=True, help="fine model run dir")
+    sp.add_argument("--coarse", default=None, help="coarse run dir (enables cascade)")
+    sp.add_argument("--config", default=None, help="preset fallback if run has no config.json")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("evaluate", help="predict + Dice vs ground truth")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--fine", required=True)
+    sp.add_argument("--coarse", default=None)
+    sp.add_argument("--config", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

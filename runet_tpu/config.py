@@ -72,6 +72,10 @@ class CascadeConfig:
     roi_margin_mm: float = 16.0  # margin around coarse kidney bbox
     roi_bucket: int = 32  # ROI dims rounded up to multiples (recompile guard)
     max_components: int = 2  # keep <=2 largest kidney CCs
+    # Hard cap on ROI physical extent per axis: a kidney+tumor fits well
+    # inside 192 mm; this bounds fine-stage cost even if the coarse mask
+    # degenerates (e.g. early in training).
+    roi_max_mm: float = 192.0
 
 
 @dataclasses.dataclass(frozen=True)

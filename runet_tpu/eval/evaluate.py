@@ -1,0 +1,48 @@
+"""Evaluation sweep (SURVEY.md §3.4): per-case, per-class Dice + KiTS19
+composite, driving the BASELINE metric of record (volumes/min at Dice
+parity)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from runet_tpu.train.losses import hard_dice_per_class, kits_composite_dice
+
+
+def evaluate_prediction(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> dict:
+    d = np.asarray(hard_dice_per_class(pred.astype(np.int32), gt.astype(np.int32), num_classes))
+    comp = kits_composite_dice(pred.astype(np.int32), gt.astype(np.int32))
+    out = {f"dice_c{k}": float(d[k]) for k in range(num_classes)}
+    out["dice_fg_mean"] = float(d[1:].mean()) if num_classes > 1 else float(d.mean())
+    out["kidney_composite"] = float(comp["kidney_composite"])
+    out["tumor"] = float(comp["tumor"])
+    return out
+
+
+def evaluate_cases(predict_fn, cases, num_classes: int) -> dict:
+    """predict_fn(case) -> uint8 labels at native shape; ``cases`` are
+    PreparedCase-likes with .image/.labels or (image, gt) tuples."""
+    rows = []
+    t0 = time.monotonic()
+    for case in cases:
+        if isinstance(case, tuple):
+            cid, image, gt = None, case[0], case[1]
+        else:
+            cid, image, gt = case.case_id, case, case.labels
+        t = time.monotonic()
+        pred = predict_fn(case)
+        dt = time.monotonic() - t
+        row = evaluate_prediction(pred, np.asarray(gt), num_classes)
+        row["case_id"] = cid
+        row["seconds"] = dt
+        rows.append(row)
+    total = time.monotonic() - t0
+    summary = {
+        k: float(np.mean([r[k] for r in rows]))
+        for k in rows[0]
+        if k not in ("case_id",)
+    }
+    summary["volumes_per_min"] = 60.0 * len(rows) / total
+    return {"cases": rows, "summary": summary}

@@ -1,0 +1,166 @@
+"""Coarse → ROI → fine cascade orchestration (SURVEY.md L7, §3.2;
+BASELINE.json config 3).
+
+Pipeline per case (reference form: script-level glue, provenance [DOMAIN]):
+
+1. resample native CT to coarse spacing, normalize, coarse sliding-window
+   predict → binary kidney mask
+2. connected components of the mask → up to ``max_components`` kidney
+   bounding boxes + physical margin (host: boxes are tiny metadata)
+3. per ROI: crop the NATIVE volume, resample only the crop to fine spacing
+   (fine dims padded up to multiples of ``roi_bucket`` so the jitted fine
+   program recompiles at most a handful of times across a dataset)
+4. fine sliding-window predict per ROI, fused on device
+5. one-hot-linear resample of each ROI's labels back to its native crop
+   grid; paste into a native-shape canvas; CC postprocess
+
+The full volume NEVER exists at fine spacing — only kidney ROIs do. For a
+KiTS19-size case that is the difference between ~150M voxels and ~5M, and it
+is what makes the <10 s north star reachable. Host↔device traffic: one
+upload per resample input, one download of the coarse mask and of each ROI
+label block — never per window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from runet_tpu.config import CascadeConfig, InferConfig, PreprocessConfig
+from runet_tpu.infer.postprocess import (
+    component_bounding_boxes,
+    keep_largest_components,
+)
+from runet_tpu.infer.sliding_window import sliding_window_predict
+from runet_tpu.preprocess.normalize import normalize
+from runet_tpu.preprocess.resample import (
+    output_shape_for_spacing,
+    resample,
+    resample_labels_onehot,
+)
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Everything needed to run one stage of the cascade."""
+
+    apply_fn: object  # (params, windows(B,px,py,pz,C)) -> logits
+    params: object
+    num_classes: int
+    preprocess: PreprocessConfig
+    infer: InferConfig
+
+
+def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfig):
+    out_shape = output_shape_for_spacing(image.shape, native_spacing, pp.spacing)
+    scale = tuple(d / s for s, d in zip(native_spacing, pp.spacing))
+    x = resample(np.asarray(image, np.float32), out_shape, scale, method="linear")
+    return normalize(x, pp.hu_window, pp.hu_stats)
+
+
+def _predict_stage(bundle: ModelBundle, volume) -> np.ndarray:
+    labels = sliding_window_predict(
+        bundle.apply_fn,
+        bundle.params,
+        volume,
+        patch_size=tuple(bundle.infer.patch_size),
+        num_classes=bundle.num_classes,
+        overlap=bundle.infer.overlap,
+        sigma_scale=bundle.infer.sigma_scale,
+        use_gaussian=bundle.infer.use_gaussian,
+        window_batch=bundle.infer.window_batch,
+    )
+    return np.asarray(labels)
+
+
+def _bucket_up(size: np.ndarray, bucket: int) -> tuple[int, int, int]:
+    """Round dims up to multiples of ``bucket`` (static-shape recompile guard)."""
+    return tuple(int(-(-int(s) // bucket) * bucket) for s in size)
+
+
+def predict_volume(fine: ModelBundle, image: np.ndarray, native_spacing) -> np.ndarray:
+    """BASELINE config 2: fine model sliding-window over the whole volume,
+    labels resampled back to the native grid."""
+    vol = _preprocess_on_device(image, native_spacing, fine.preprocess)
+    labels = _predict_stage(fine, vol)
+    scale = tuple(n / f for n, f in zip(native_spacing, fine.preprocess.spacing))
+    out = resample_labels_onehot(labels.astype(np.int32), tuple(image.shape), scale, fine.num_classes)
+    return np.asarray(out, np.uint8)
+
+
+def predict_case(
+    coarse: ModelBundle,
+    fine: ModelBundle,
+    image: np.ndarray,
+    native_spacing,
+    cascade: CascadeConfig = CascadeConfig(),
+    postprocess: bool = True,
+) -> np.ndarray:
+    """BASELINE config 3: full cascade; returns uint8 labels at native shape."""
+    image = np.asarray(image)
+    n_sp = np.asarray(native_spacing, np.float64)
+    c_sp = np.asarray(coarse.preprocess.spacing, np.float64)
+    f_sp = np.asarray(fine.preprocess.spacing, np.float64)
+
+    # ---- coarse localization ----
+    coarse_vol = _preprocess_on_device(image, native_spacing, coarse.preprocess)
+    coarse_labels = _predict_stage(coarse, coarse_vol)
+    mask = (coarse_labels > 0).astype(np.uint8)
+
+    boxes = component_bounding_boxes(
+        mask, max_components=cascade.max_components, min_voxels=8
+    )
+
+    native_canvas = np.zeros(image.shape, np.uint8)
+    margin_vox = np.ceil(cascade.roi_margin_mm / n_sp).astype(int)
+
+    for lo_c, hi_c in boxes:
+        # coarse voxel -> mm -> NATIVE voxel, plus margin.
+        lo = np.floor(lo_c * c_sp / n_sp).astype(int) - margin_vox
+        hi = np.ceil(hi_c * c_sp / n_sp).astype(int) + margin_vox
+        # Cap ROI physical extent (centered) so a degenerate coarse mask
+        # can't make the fine stage scan the whole volume.
+        max_vox = np.maximum((cascade.roi_max_mm / n_sp).astype(int), 1)
+        over = np.maximum(hi - lo - max_vox, 0)
+        lo = lo + over // 2
+        hi = hi - (over - over // 2)
+        lo = np.maximum(lo, 0)
+        hi = np.minimum(hi, image.shape)
+        if np.any(hi <= lo):
+            continue
+        crop = image[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
+
+        # Resample only the crop to fine spacing; pad fine dims up to bucket
+        # multiples so the jitted program sees few distinct shapes.
+        fine_shape = output_shape_for_spacing(crop.shape, native_spacing, tuple(f_sp))
+        padded_shape = _bucket_up(np.asarray(fine_shape), cascade.roi_bucket)
+        scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
+        roi = resample(np.asarray(crop, np.float32), fine_shape, scale_nf, "linear")
+        roi = normalize(roi, fine.preprocess.hu_window, fine.preprocess.hu_stats)
+        pad = [(0, p - s) for s, p in zip(fine_shape, padded_shape)]
+        if any(p[1] for p in pad):
+            roi = np.pad(np.asarray(roi), pad, mode="edge")
+
+        roi_labels = _predict_stage(fine, roi)[
+            : fine_shape[0], : fine_shape[1], : fine_shape[2]
+        ]
+
+        # Fine ROI labels -> native crop grid (one-hot-linear), paste.
+        scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
+        crop_labels = np.asarray(
+            resample_labels_onehot(
+                roi_labels.astype(np.int32), tuple(crop.shape), scale_fn, fine.num_classes
+            ),
+            np.uint8,
+        )
+        dst = native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
+        native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = np.where(
+            crop_labels > 0, crop_labels, dst
+        )
+
+    if postprocess and boxes:
+        native_canvas = keep_largest_components(
+            native_canvas, max_components=cascade.max_components
+        )
+    return native_canvas

@@ -1,0 +1,75 @@
+"""Connected-component postprocessing (SURVEY.md L8).
+
+Reference: ``scipy.ndimage.label`` + drop spurious components, keep ≤2
+largest kidney CCs (provenance [BASELINE]/[DOMAIN]). Rebuild: a native C++
+union-find labeling core (native/cc3d.cpp, loaded via ctypes — the
+TPU-native equivalent of scipy's C internals per SURVEY.md §2.2) with a
+scipy fallback so the path always works.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from runet_tpu.utils.native import native_label_components
+
+
+def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """6-connected 3D labeling. Returns (labels int32, num_components)."""
+    mask = np.ascontiguousarray(mask.astype(np.uint8))
+    out = native_label_components(mask)
+    if out is not None:
+        return out
+    from scipy import ndimage
+
+    lab, n = ndimage.label(mask)
+    return lab.astype(np.int32), int(n)
+
+
+def component_sizes(labels: np.ndarray, n: int) -> np.ndarray:
+    return np.bincount(labels.ravel(), minlength=n + 1)[1:]
+
+
+def keep_largest_components(
+    seg: np.ndarray,
+    foreground_classes: tuple[int, ...] | None = None,
+    max_components: int = 2,
+    min_voxels: int = 0,
+) -> np.ndarray:
+    """Keep the ``max_components`` largest CCs of the foreground union and
+    zero out everything else (KiTS: ≤2 kidney+tumor components)."""
+    if foreground_classes is None:
+        fg = seg > 0
+    else:
+        fg = np.isin(seg, foreground_classes)
+    labels, n = label_components(fg)
+    if n == 0:
+        return seg
+    sizes = component_sizes(labels, n)
+    order = np.argsort(sizes)[::-1]
+    keep = [i + 1 for i in order[:max_components] if sizes[i] > min_voxels]
+    keep_mask = np.isin(labels, keep)
+    out = seg.copy()
+    out[fg & ~keep_mask] = 0
+    return out
+
+
+def component_bounding_boxes(
+    mask: np.ndarray,
+    max_components: int = 2,
+    min_voxels: int = 32,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """(lo, hi) inclusive-exclusive voxel bounds of the largest components,
+    ordered by size (cascade ROI extraction, SURVEY.md §3.2)."""
+    labels, n = label_components(mask)
+    if n == 0:
+        return []
+    sizes = component_sizes(labels, n)
+    order = np.argsort(sizes)[::-1]
+    boxes = []
+    for i in order[:max_components]:
+        if sizes[i] < min_voxels:
+            continue
+        coords = np.argwhere(labels == i + 1)
+        boxes.append((coords.min(axis=0), coords.max(axis=0) + 1))
+    return boxes

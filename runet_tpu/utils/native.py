@@ -1,0 +1,82 @@
+"""ctypes loader for the native C++ runtime components (SURVEY.md §2.2).
+
+The reference inherited its native tier through scipy/SimpleITK/ATen; the
+rebuild ships its own: ``native/cc3d.cpp`` (union-find connected components).
+Build lazily with g++ on first use; every caller must handle ``None`` (scipy
+fallback) so a missing toolchain never breaks the pipeline.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO_ROOT / "native" / "cc3d.cpp"
+_LIB = _REPO_ROOT / "native" / "build" / "libcc3d.so"
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _LIB.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        "-std=c++17", str(_SRC), "-o", str(_LIB),
+                    ],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (subprocess.SubprocessError, FileNotFoundError):
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.label_components_3d.restype = ctypes.c_int32
+        lib.label_components_3d.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_label_components(mask: np.ndarray) -> tuple[np.ndarray, int] | None:
+    """6-connected labeling via C++ union-find; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert mask.dtype == np.uint8 and mask.flags.c_contiguous
+    out = np.empty(mask.shape, np.int32)
+    n = lib.label_components_3d(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.shape[0],
+        mask.shape[1],
+        mask.shape[2],
+    )
+    if n < 0:
+        return None
+    return out, int(n)

@@ -1,0 +1,123 @@
+"""Cascade integration tests on phantoms (SURVEY.md §4.5): oracle models
+push known labels through the full crop/predict/paste/resample plumbing."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from runet_tpu.config import CascadeConfig, InferConfig, PreprocessConfig
+from runet_tpu.data.phantom import make_phantom
+from runet_tpu.eval.evaluate import evaluate_cases, evaluate_prediction
+from runet_tpu.infer.cascade import ModelBundle, predict_case, predict_volume
+
+
+def _identity_pp(spacing):
+    # Normalization that keeps small class-index values intact.
+    return PreprocessConfig(spacing=spacing, hu_window=(0.0, 100.0), hu_stats=(0.0, 1.0))
+
+
+def _class_oracle(num_classes):
+    """'Model' that decodes the input voxel value as its class index."""
+    import jax
+
+    def apply_fn(params, windows):  # (B, px, py, pz, 1)
+        x = jnp.round(windows[..., 0]).astype(jnp.int32)
+        x = jnp.clip(x, 0, num_classes - 1)
+        return 20.0 * jax.nn.one_hot(x, num_classes)
+
+    return apply_fn
+
+
+def _binary_oracle():
+    def apply_fn(params, windows):
+        x = windows[..., 0]
+        return jnp.stack([10.0 * (0.5 - x), 10.0 * (x - 0.5)], axis=-1)
+
+    return apply_fn
+
+
+def _make_label_image():
+    """Phantom where the image *is* the label map (float), so oracle models
+    reconstruct the segmentation through the full pipeline."""
+    _, seg = make_phantom((64, 64, 48), spacing=(1.0, 1.0, 1.5), num_classes=3, seed=0)
+    return seg.astype(np.float32), seg
+
+
+def test_predict_volume_roundtrip():
+    img, seg = _make_label_image()
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3),
+        params={},
+        num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    pred = predict_volume(fine, img, (1.0, 1.0, 1.5))
+    assert pred.shape == seg.shape
+    m = evaluate_prediction(pred, seg, 3)
+    assert m["dice_c1"] > 0.93, m
+    assert m["dice_c2"] > 0.93, m
+
+
+def test_cascade_end_to_end():
+    img, seg = _make_label_image()
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(),
+        params={},
+        num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3),
+        params={},
+        num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    pred = predict_case(
+        coarse, fine, img, (1.0, 1.0, 1.5),
+        cascade=CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2),
+    )
+    assert pred.shape == seg.shape
+    m = evaluate_prediction(pred, seg, 3)
+    assert m["dice_c1"] > 0.9, m
+    assert m["dice_c2"] > 0.9, m
+    assert m["kidney_composite"] > 0.9, m
+
+
+def test_cascade_empty_coarse_mask():
+    # No kidney found -> all-background prediction, correct shape, no crash.
+    img = np.zeros((40, 40, 30), np.float32)
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(16, 16, 16)),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(16, 16, 16)),
+    )
+    pred = predict_case(coarse, fine, img, (1.0, 1.0, 1.0))
+    assert pred.shape == img.shape
+    assert (pred == 0).all()
+
+
+def test_evaluate_cases_summary():
+    img, seg = _make_label_image()
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32)),
+    )
+
+    def predict_fn(case):
+        image, gt = case
+        return predict_volume(fine, image, (1.0, 1.0, 1.5))
+
+    out = evaluate_cases(predict_fn, [(img, seg)], num_classes=3)
+    assert out["summary"]["volumes_per_min"] > 0
+    assert out["summary"]["dice_fg_mean"] > 0.9
+    assert len(out["cases"]) == 1

@@ -1,0 +1,162 @@
+"""Sliding-window inference + postprocess tests (SURVEY.md §4.1, §4.5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runet_tpu.config import ModelConfig
+from runet_tpu.infer.gaussian import gaussian_importance_map
+from runet_tpu.infer.postprocess import (
+    component_bounding_boxes,
+    keep_largest_components,
+    label_components,
+)
+from runet_tpu.infer.sliding_window import (
+    compute_window_starts,
+    make_start_table,
+    sliding_window_predict,
+)
+from runet_tpu.models.unet3d import UNet3D, init_params
+
+
+def test_gaussian_properties():
+    g = gaussian_importance_map((16, 16, 16))
+    assert g.shape == (16, 16, 16)
+    assert g.max() == pytest.approx(1.0)
+    assert (g > 0).all()
+    # Symmetry.
+    np.testing.assert_allclose(g, g[::-1], atol=1e-6)
+    np.testing.assert_allclose(g, g.transpose(1, 0, 2), atol=1e-6)
+    # Max at center region.
+    assert g[7:9, 7:9, 7:9].max() == g.max()
+
+
+def test_window_starts_cover():
+    starts = compute_window_starts(100, 32, 16)
+    assert starts[0] == 0 and starts[-1] == 68
+    covered = np.zeros(100, bool)
+    for s in starts:
+        covered[s : s + 32] = True
+    assert covered.all()
+    assert compute_window_starts(16, 32, 16) == [0]
+
+
+def test_start_table_padding():
+    t = make_start_table((64, 64, 32), (32, 32, 32), overlap=0.5, window_batch=4)
+    assert t.shape[1] == 3
+    assert len(t) % 4 == 0
+
+
+def _oracle_model():
+    """A tiny tractable 'model': class1 where input > 0 else class0."""
+
+    def apply_fn(params, windows):  # windows (B, px, py, pz, 1)
+        x = windows[..., 0]
+        logits = jnp.stack([-x * 10, x * 10], axis=-1)
+        return logits
+
+    return apply_fn
+
+
+def test_sliding_window_matches_dense_oracle():
+    # The threshold model is position-independent, so sliding-window fusion
+    # must reproduce the dense decision exactly, seams included.
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(40, 33, 21)).astype(np.float32)
+    labels = sliding_window_predict(
+        _oracle_model(), {}, vol, patch_size=(16, 16, 16), num_classes=2,
+        overlap=0.5, window_batch=1,
+    )
+    np.testing.assert_array_equal(np.asarray(labels), (vol > 0).astype(np.uint8))
+
+
+@pytest.mark.parametrize("window_batch", [1, 3])
+def test_sliding_window_batching_invariant(window_batch):
+    rng = np.random.default_rng(1)
+    vol = rng.normal(size=(24, 24, 24)).astype(np.float32)
+    labels = sliding_window_predict(
+        _oracle_model(), {}, vol, patch_size=(16, 16, 16), num_classes=2,
+        overlap=0.5, window_batch=window_batch,
+    )
+    np.testing.assert_array_equal(np.asarray(labels), (vol > 0).astype(np.uint8))
+
+
+def test_sliding_window_volume_smaller_than_patch():
+    rng = np.random.default_rng(2)
+    vol = rng.normal(size=(10, 12, 8)).astype(np.float32)
+    labels = sliding_window_predict(
+        _oracle_model(), {}, vol, patch_size=(16, 16, 16), num_classes=2,
+    )
+    assert labels.shape == (10, 12, 8)
+    np.testing.assert_array_equal(np.asarray(labels), (vol > 0).astype(np.uint8))
+
+
+def test_sliding_window_with_real_unet():
+    cfg = ModelConfig(num_classes=2, base_features=4, num_levels=2, compute_dtype="float32")
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (16, 16, 16))
+
+    def apply_fn(p, w):
+        return model.apply({"params": p}, w)
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(20, 24, 18)).astype(np.float32)
+    labels, probs = sliding_window_predict(
+        apply_fn, params, vol, patch_size=(16, 16, 16), num_classes=2,
+        return_probs=True,
+    )
+    assert labels.shape == vol.shape
+    assert probs.shape == vol.shape + (2,)
+    p = np.asarray(probs)
+    # Corners have ~1e-9 gaussian weight vs the 1e-12 div-guard: allow 5e-3.
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, atol=5e-3)
+
+
+# ---------------- postprocess ----------------
+
+
+def test_label_components_basic():
+    m = np.zeros((8, 8, 8), np.uint8)
+    m[:2, :2, :2] = 1
+    m[5:, 5:, 5:] = 1
+    lab, n = label_components(m)
+    assert n == 2
+    assert len(np.unique(lab[m > 0])) == 2
+    assert (lab[m == 0] == 0).all()
+
+
+def test_label_components_matches_scipy():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(4)
+    m = (rng.uniform(size=(20, 18, 16)) < 0.3).astype(np.uint8)
+    lab, n = label_components(m)
+    slab, sn = ndimage.label(m)
+    assert n == sn
+    # Same partition (label values may differ): check bijection.
+    pairs = set(zip(lab.ravel().tolist(), slab.ravel().tolist()))
+    assert len(pairs) == sn + 1  # one pair per component + background
+
+
+def test_keep_largest_components():
+    seg = np.zeros((16, 16, 16), np.uint8)
+    seg[:6, :6, :6] = 1  # big
+    seg[8:10, 8:10, 8:10] = 1  # small
+    seg[12:13, 12:13, 12:13] = 2  # tiny spurious tumor island
+    out = keep_largest_components(seg, max_components=1)
+    assert (out[:6, :6, :6] == 1).all()
+    assert (out[8:10, 8:10, 8:10] == 0).all()
+    assert (out[12:13, 12:13, 12:13] == 0).all()
+
+
+def test_component_bounding_boxes():
+    m = np.zeros((20, 20, 20), np.uint8)
+    m[2:6, 3:7, 4:8] = 1
+    m[12:18, 12:18, 12:18] = 1
+    boxes = component_bounding_boxes(m, max_components=2, min_voxels=1)
+    assert len(boxes) == 2
+    lo, hi = boxes[0]  # largest first
+    np.testing.assert_array_equal(lo, [12, 12, 12])
+    np.testing.assert_array_equal(hi, [18, 18, 18])
