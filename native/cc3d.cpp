@@ -47,6 +47,39 @@ struct UnionFind {
 
 }  // namespace
 
+// Zero out every voxel of `seg` whose foreground component (per `labels`,
+// 1..n_labels from label_components_3d) is not among the `keep_k` largest
+// with more than `min_voxels` voxels. One pass over sizes + one over voxels.
+extern "C" void keep_largest_components_3d(uint8_t* seg, const int32_t* labels,
+                                           int64_t n, int32_t n_labels,
+                                           int32_t keep_k, int64_t min_voxels) {
+  if (n_labels <= 0) return;
+  std::vector<int64_t> sizes(static_cast<std::size_t>(n_labels) + 1, 0);
+  for (int64_t i = 0; i < n; ++i) sizes[labels[i]]++;
+  sizes[0] = 0;
+
+  // Component ids sorted by size descending (n_labels is small in practice).
+  std::vector<int32_t> order;
+  order.reserve(n_labels);
+  for (int32_t c = 1; c <= n_labels; ++c) order.push_back(c);
+  for (std::size_t a = 0; a + 1 < order.size(); ++a) {  // selection sort
+    std::size_t best = a;
+    for (std::size_t b = a + 1; b < order.size(); ++b)
+      if (sizes[order[b]] > sizes[order[best]]) best = b;
+    int32_t t = order[a];
+    order[a] = order[best];
+    order[best] = t;
+  }
+
+  std::vector<uint8_t> keep(static_cast<std::size_t>(n_labels) + 1, 0);
+  for (int32_t k = 0; k < keep_k && k < n_labels; ++k) {
+    if (sizes[order[k]] > min_voxels) keep[order[k]] = 1;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (labels[i] > 0 && !keep[labels[i]]) seg[i] = 0;
+  }
+}
+
 extern "C" int32_t label_components_3d(const uint8_t* mask, int32_t* out,
                                        int64_t nx, int64_t ny, int64_t nz) {
   const int64_t n = nx * ny * nz;

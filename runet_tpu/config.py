@@ -65,6 +65,9 @@ class InferConfig:
     sigma_scale: float = 0.125  # gaussian importance sigma = size * scale
     window_batch: int = 1  # windows evaluated per device step
     use_gaussian: bool = True
+    # Whole-volume single forward when padded volume <= ratio * patch volume
+    # (fully-convolutional fast path; 0 disables).
+    single_pass_ratio: float = 1.75
 
 
 @dataclasses.dataclass(frozen=True)

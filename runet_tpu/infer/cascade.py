@@ -25,12 +25,14 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
 import numpy as np
 
 from runet_tpu.config import CascadeConfig, InferConfig, PreprocessConfig
 from runet_tpu.infer.postprocess import (
     component_bounding_boxes,
     keep_largest_components,
+    keep_largest_components_in_boxes,
 )
 from runet_tpu.infer.sliding_window import sliding_window_predict
 from runet_tpu.preprocess.normalize import normalize
@@ -52,15 +54,25 @@ class ModelBundle:
     infer: InferConfig
 
 
+def _to_transfer_dtype(image: np.ndarray) -> np.ndarray:
+    """Halve host→device bytes: HU values are exact in f16 up to 2048 and the
+    HU clip window makes larger magnitudes irrelevant; tunnel measured at
+    ~36 MB/s, so a 512³-scale upload drops seconds."""
+    if image.dtype in (np.float32, np.float64):
+        return image.astype(np.float16)
+    return image
+
+
 def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfig):
     out_shape = output_shape_for_spacing(image.shape, native_spacing, pp.spacing)
     scale = tuple(d / s for s, d in zip(native_spacing, pp.spacing))
-    x = resample(np.asarray(image, np.float32), out_shape, scale, method="linear")
+    x = resample(_to_transfer_dtype(np.asarray(image)), out_shape, scale, method="linear")
     return normalize(x, pp.hu_window, pp.hu_stats)
 
 
-def _predict_stage(bundle: ModelBundle, volume) -> np.ndarray:
-    labels = sliding_window_predict(
+def _predict_stage(bundle: ModelBundle, volume):
+    """Sliding-window predict; returns a DEVICE uint8 label array."""
+    return sliding_window_predict(
         bundle.apply_fn,
         bundle.params,
         volume,
@@ -70,8 +82,8 @@ def _predict_stage(bundle: ModelBundle, volume) -> np.ndarray:
         sigma_scale=bundle.infer.sigma_scale,
         use_gaussian=bundle.infer.use_gaussian,
         window_batch=bundle.infer.window_batch,
+        single_pass_ratio=bundle.infer.single_pass_ratio,
     )
-    return np.asarray(labels)
 
 
 def _bucket_up(size: np.ndarray, bucket: int) -> tuple[int, int, int]:
@@ -96,24 +108,38 @@ def predict_case(
     native_spacing,
     cascade: CascadeConfig = CascadeConfig(),
     postprocess: bool = True,
+    timer=None,
 ) -> np.ndarray:
     """BASELINE config 3: full cascade; returns uint8 labels at native shape."""
+    from runet_tpu.utils.timing import PhaseTimer
+
+    t = timer if timer is not None else PhaseTimer(enabled=False)
     image = np.asarray(image)
     n_sp = np.asarray(native_spacing, np.float64)
     c_sp = np.asarray(coarse.preprocess.spacing, np.float64)
     f_sp = np.asarray(fine.preprocess.spacing, np.float64)
 
     # ---- coarse localization ----
-    coarse_vol = _preprocess_on_device(image, native_spacing, coarse.preprocess)
-    coarse_labels = _predict_stage(coarse, coarse_vol)
-    mask = (coarse_labels > 0).astype(np.uint8)
+    # Host-side integer striding before upload: localization tolerates the
+    # aliasing, and it cuts the (tunnel-bound, ~36 MB/s) transfer by the
+    # stride product (e.g. 42M -> 2.6M voxels for 0.78mm -> 3.2mm).
+    with t.phase("coarse_preprocess"):
+        stride = np.maximum((c_sp // n_sp).astype(int), 1)
+        strided = image[:: stride[0], :: stride[1], :: stride[2]]
+        strided_spacing = tuple(n_sp * stride)
+        coarse_vol = _preprocess_on_device(strided, strided_spacing, coarse.preprocess)
+    with t.phase("coarse_predict"):
+        coarse_labels = _predict_stage(coarse, coarse_vol)
+        mask = (np.asarray(coarse_labels) > 0).astype(np.uint8)
 
-    boxes = component_bounding_boxes(
-        mask, max_components=cascade.max_components, min_voxels=8
-    )
+    with t.phase("coarse_boxes"):
+        boxes = component_bounding_boxes(
+            mask, max_components=cascade.max_components, min_voxels=8
+        )
 
     native_canvas = np.zeros(image.shape, np.uint8)
     margin_vox = np.ceil(cascade.roi_margin_mm / n_sp).astype(int)
+    native_boxes: list[tuple[np.ndarray, np.ndarray]] = []
 
     for lo_c, hi_c in boxes:
         # coarse voxel -> mm -> NATIVE voxel, plus margin.
@@ -129,38 +155,45 @@ def predict_case(
         hi = np.minimum(hi, image.shape)
         if np.any(hi <= lo):
             continue
+        native_boxes.append((lo.copy(), hi.copy()))
         crop = image[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
 
-        # Resample only the crop to fine spacing; pad fine dims up to bucket
-        # multiples so the jitted program sees few distinct shapes.
+        # Resample only the crop to fine spacing, directly at the bucketed
+        # shape: sampling positions clamp at the input edge, which IS
+        # edge-padding — no host pad round-trip, few distinct jit shapes.
         fine_shape = output_shape_for_spacing(crop.shape, native_spacing, tuple(f_sp))
         padded_shape = _bucket_up(np.asarray(fine_shape), cascade.roi_bucket)
         scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
-        roi = resample(np.asarray(crop, np.float32), fine_shape, scale_nf, "linear")
-        roi = normalize(roi, fine.preprocess.hu_window, fine.preprocess.hu_stats)
-        pad = [(0, p - s) for s, p in zip(fine_shape, padded_shape)]
-        if any(p[1] for p in pad):
-            roi = np.pad(np.asarray(roi), pad, mode="edge")
+        with t.phase("roi_preprocess"):
+            roi = resample(
+                _to_transfer_dtype(np.ascontiguousarray(crop)), padded_shape, scale_nf, "linear"
+            )
+            roi = normalize(roi, fine.preprocess.hu_window, fine.preprocess.hu_stats)
 
-        roi_labels = _predict_stage(fine, roi)[
-            : fine_shape[0], : fine_shape[1], : fine_shape[2]
-        ]
+        with t.phase("roi_predict"):
+            roi_labels = _predict_stage(fine, roi)[
+                : fine_shape[0], : fine_shape[1], : fine_shape[2]
+            ]
 
-        # Fine ROI labels -> native crop grid (one-hot-linear), paste.
-        scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
-        crop_labels = np.asarray(
-            resample_labels_onehot(
-                roi_labels.astype(np.int32), tuple(crop.shape), scale_fn, fine.num_classes
-            ),
-            np.uint8,
-        )
-        dst = native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
-        native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = np.where(
-            crop_labels > 0, crop_labels, dst
-        )
+        # Fine ROI labels -> native crop grid (one-hot-linear), paste. Only
+        # the final uint8 crop labels ever leave the device.
+        with t.phase("roi_labels_back"):
+            scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
+            crop_labels = np.asarray(
+                resample_labels_onehot(
+                    roi_labels.astype(jnp.int32), tuple(crop.shape), scale_fn, fine.num_classes
+                ),
+                np.uint8,
+            )
+        with t.phase("paste"):
+            dst = native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
+            native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = np.where(
+                crop_labels > 0, crop_labels, dst
+            )
 
-    if postprocess and boxes:
-        native_canvas = keep_largest_components(
-            native_canvas, max_components=cascade.max_components
-        )
+    if postprocess and native_boxes:
+        with t.phase("postprocess_cc"):
+            native_canvas = keep_largest_components_in_boxes(
+                native_canvas, native_boxes, max_components=cascade.max_components
+            )
     return native_canvas

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from runet_tpu.utils.native import native_label_components
+from runet_tpu.utils.native import native_keep_largest, native_label_components
 
 
 def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
@@ -45,12 +45,54 @@ def keep_largest_components(
     labels, n = label_components(fg)
     if n == 0:
         return seg
+    out = np.ascontiguousarray(seg.copy())
+    if out.dtype == np.uint8 and native_keep_largest(
+        out, labels, n, max_components, min_voxels
+    ):
+        return out
     sizes = component_sizes(labels, n)
     order = np.argsort(sizes)[::-1]
     keep = [i + 1 for i in order[:max_components] if sizes[i] > min_voxels]
     keep_mask = np.isin(labels, keep)
-    out = seg.copy()
     out[fg & ~keep_mask] = 0
+    return out
+
+
+def keep_largest_components_in_boxes(
+    seg: np.ndarray,
+    boxes: list[tuple[np.ndarray, np.ndarray]],
+    max_components: int = 2,
+    min_voxels: int = 0,
+) -> np.ndarray:
+    """Box-scoped variant of keep_largest_components for cascade outputs.
+
+    Cascade predictions are zero outside the pasted ROI boxes, so labeling
+    the whole native volume is wasted single-core host time (~3 s at KiTS
+    scale). Label each box crop, rank component sizes globally across boxes,
+    keep the top ``max_components``. Components are per-box (boxes rarely
+    overlap; kidneys are disjoint by construction).
+    """
+    crops = []
+    comps = []  # (size, box_idx, comp_id)
+    for bi, (lo, hi) in enumerate(boxes):
+        crop = np.ascontiguousarray(seg[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]])
+        labels, n = label_components(crop > 0)
+        sizes = component_sizes(labels, n)
+        crops.append((crop, labels, n))
+        for c in range(n):
+            comps.append((int(sizes[c]), bi, c + 1))
+    comps.sort(reverse=True)
+    keep = {(bi, cid) for sz, bi, cid in comps[:max_components] if sz > min_voxels}
+    out = seg.copy()
+    for bi, (lo, hi) in enumerate(boxes):
+        crop, labels, n = crops[bi]
+        if n == 0:
+            continue
+        keep_ids = [cid for (b, cid) in keep if b == bi]
+        kill = ~np.isin(labels, keep_ids) & (labels > 0)
+        crop = crop.copy()
+        crop[kill] = 0
+        out[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = crop
     return out
 
 

@@ -129,6 +129,13 @@ def _fuse_labels(accum, norm):
     return jnp.argmax(probs, axis=-1).astype(jnp.uint8), probs
 
 
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _single_pass(apply_fn, params, volume):
+    logits = apply_fn(params, volume[None])[0]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.argmax(probs, axis=-1).astype(jnp.uint8), probs
+
+
 def _sliding_window_device(
     apply_fn, params, volume, starts, gauss, patch_size, num_classes, window_batch
 ):
@@ -157,11 +164,17 @@ def sliding_window_predict(
     window_batch: int = 1,
     pad_value: float | None = None,
     return_probs: bool = False,
+    single_pass_ratio: float = 1.75,
 ):
     """Whole-volume prediction; returns uint8 labels (and probs if asked),
     shaped like the input volume.
 
     apply_fn(params, windows(B,px,py,pz,C)) -> logits (B,px,py,pz,K).
+
+    Fast path: the U-Net is fully convolutional, so when the volume (padded
+    to 32-divisible dims) is at most ``single_pass_ratio`` × the window
+    volume, one whole-volume forward replaces overlapping windows + blending
+    — fewer FLOPs and no accumulator traffic, same dense prediction.
     """
     vol = jnp.asarray(volume)
     if vol.ndim == 3:
@@ -169,6 +182,23 @@ def sliding_window_predict(
     orig_shape = vol.shape[:3]
     if pad_value is None:
         pad_value = float(jnp.min(vol))
+
+    # Divisibility guard: 32 covers <=6 U-Net levels; never exceed the patch
+    # (a model accepting 16-cubed patches has <=5 levels anyway).
+    div = min(32, min(patch_size))
+    div32 = tuple(-(-s // div) * div for s in orig_shape)
+    if (
+        single_pass_ratio > 0
+        and np.prod(div32) <= single_pass_ratio * np.prod(patch_size)
+    ):
+        pads = [(0, p - s) for s, p in zip(orig_shape, div32)] + [(0, 0)]
+        v = jnp.pad(vol, pads, constant_values=pad_value) if any(p[1] for p in pads) else vol
+        labels, probs = _single_pass(apply_fn, params, v.astype(jnp.float32))
+        labels = labels[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
+        if return_probs:
+            return labels, probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
+        return labels
+
     vol, padded_shape = pad_volume(vol, patch_size, pad_value)
 
     starts = make_start_table(padded_shape, patch_size, overlap, window_batch)

@@ -59,8 +59,41 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        lib.keep_largest_components_3d.restype = None
+        lib.keep_largest_components_3d.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
+
+
+def native_keep_largest(
+    seg: np.ndarray,
+    labels: np.ndarray,
+    n_labels: int,
+    keep_k: int,
+    min_voxels: int = 0,
+) -> bool:
+    """In-place zero of non-top-k components. Returns False if unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert seg.dtype == np.uint8 and seg.flags.c_contiguous
+    assert labels.dtype == np.int32 and labels.flags.c_contiguous
+    lib.keep_largest_components_3d(
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seg.size,
+        n_labels,
+        keep_k,
+        min_voxels,
+    )
+    return True
 
 
 def native_label_components(mask: np.ndarray) -> tuple[np.ndarray, int] | None:

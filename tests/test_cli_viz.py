@@ -1,0 +1,63 @@
+"""CLI end-to-end + visualization tests (SURVEY.md L9, §2.1)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from runet_tpu.cli import main
+from runet_tpu.data.phantom import make_phantom
+
+
+def test_cli_phantom_train_predict_evaluate(tmp_path, capsys, monkeypatch):
+    data = tmp_path / "data"
+    main(["phantom", "--out", str(data), "--cases", "2", "--shape", "40", "40", "24"])
+    out = capsys.readouterr().out
+    assert "wrote 2 cases" in out
+
+    # Tiny fine model training via CLI config override: patch the preset.
+    import runet_tpu.config as C
+
+    def tiny():
+        return C.Config(
+            name="fine_kits",
+            model=C.ModelConfig(num_classes=3, base_features=4, num_levels=2, compute_dtype="float32"),
+            preprocess=C.PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+            train=C.TrainConfig(
+                patch_size=(16, 16, 16), batch_size=2, steps=4, warmup_steps=0,
+                val_every=4, ckpt_every=4, augment=False,
+            ),
+            infer=C.InferConfig(patch_size=(16, 16, 16)),
+        )
+
+    monkeypatch.setitem(C.PRESETS, "fine_kits", tiny)
+    run = tmp_path / "run"
+    main(["train", "--config", "fine_kits", "--data", str(data), "--out", str(run)])
+    assert (run / "ckpt").exists()
+
+    preds = tmp_path / "preds"
+    main(["predict", "--data", str(data), "--fine", str(run), "--out", str(preds)])
+    capsys.readouterr()
+    assert (preds / "case_00000.nii.gz").exists()
+    from runet_tpu.io.nifti import load_volume
+
+    pred = load_volume(preds / "case_00000.nii.gz")
+    assert pred.shape == (40, 40, 24)
+
+    main(["evaluate", "--data", str(data), "--fine", str(run)])
+    out = capsys.readouterr().out
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert "summary" in lines[-1]
+    assert "dice_fg_mean" in lines[-1]["summary"]
+
+
+def test_visualize_panel(tmp_path):
+    pytest.importorskip("matplotlib")
+    from runet_tpu.eval.visualize import overlay_slice, save_case_panel
+
+    img, seg = make_phantom((32, 32, 24), num_classes=3, seed=0)
+    rgb = overlay_slice(img, seg, 2, 12)
+    assert rgb.shape == (32, 32, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+    p = save_case_panel(tmp_path / "panel.png", img, labels=seg, pred=seg, title="t")
+    assert p.exists() and p.stat().st_size > 1000

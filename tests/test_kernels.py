@@ -1,0 +1,49 @@
+"""Pallas kernel parity tests vs pure-XLA references (SURVEY.md §4.2).
+
+Run in interpret mode on CPU; the same code path compiles on TPU (exercised
+by bench/verify drives on the real chip).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from runet_tpu.kernels.fused_norm import (
+    fused_instance_norm_lrelu,
+    reference_instance_norm_lrelu,
+)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 8, 32), (1, 4, 4, 32, 128)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_norm_parity(shape, dtype):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(1.5, 2.0, size=shape), dtype)
+    C = shape[-1]
+    scale = jnp.asarray(rng.normal(1.0, 0.1, size=(C,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0.0, 0.1, size=(C,)), jnp.float32)
+    got = fused_instance_norm_lrelu(x, scale, bias, interpret=True)
+    want = reference_instance_norm_lrelu(x, scale, bias)
+    assert got.shape == x.shape and got.dtype == x.dtype
+    atol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=atol
+    )
+
+
+def test_fused_norm_matches_module_oracle():
+    # Same semantics as models/norm.py InstanceNorm (affine).
+    from runet_tpu.models.norm import InstanceNorm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 8, 32)), jnp.float32)
+    m = InstanceNorm(affine=True)
+    variables = m.init(jax.random.key(0), x)
+    module_out = m.apply(variables, x)
+    module_out = jnp.where(module_out >= 0, module_out, module_out * 1e-2)
+    scale = variables["params"]["scale"]
+    bias = variables["params"]["bias"]
+    got = fused_instance_norm_lrelu(x, scale, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(module_out), atol=1e-5)
