@@ -29,6 +29,9 @@ class ModelConfig:
     norm_eps: float = 1e-5
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Mesh axis name for spatial-partition inference (norm moments pmean'd
+    # across it); None = single-device semantics.
+    spatial_axis: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)

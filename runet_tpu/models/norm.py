@@ -21,13 +21,21 @@ class InstanceNorm(nn.Module):
     affine: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # Bound mesh axis for spatial-partition inference (parallel/spatial.py):
+    # moments are pmean'd over it so sharded stats match global stats
+    # (equal-size shards).
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # x: (B, D, H, W, C); stats over spatial dims in f32.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+        sq = jnp.mean(jnp.square(xf), axis=(1, 2, 3), keepdims=True)
+        if self.axis_name is not None:
+            mean = jax.lax.pmean(mean, self.axis_name)
+            sq = jax.lax.pmean(sq, self.axis_name)
+        var = sq - jnp.square(mean)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             c = x.shape[-1]

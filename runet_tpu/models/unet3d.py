@@ -32,6 +32,7 @@ class ConvNormAct(nn.Module):
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +45,12 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)
-        x = InstanceNorm(eps=self.norm_eps, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = InstanceNorm(
+            eps=self.norm_eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            axis_name=self.axis_name,
+        )(x)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -55,6 +61,7 @@ class EncoderBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +71,7 @@ class EncoderBlock(nn.Module):
             norm_eps=self.norm_eps,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            axis_name=self.axis_name,
         )
         x = ConvNormAct(self.features, strides=stride, **kw)(x)
         x = ConvNormAct(self.features, **kw)(x)
@@ -76,6 +84,7 @@ class DecoderBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, skip):
@@ -93,6 +102,7 @@ class DecoderBlock(nn.Module):
             norm_eps=self.norm_eps,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            axis_name=self.axis_name,
         )
         x = ConvNormAct(self.features, **kw)(x)
         x = ConvNormAct(self.features, **kw)(x)
@@ -129,6 +139,7 @@ class UNet3D(nn.Module):
             norm_eps=cfg.norm_eps,
             dtype=dtype,
             param_dtype=param_dtype,
+            axis_name=cfg.spatial_axis,
         )
 
         x = x.astype(dtype)
