@@ -27,6 +27,13 @@ class ModelConfig:
     num_levels: int = 5  # encoder resolutions (incl. bottleneck)
     negative_slope: float = 1e-2
     norm_eps: float = 1e-5
+    # "pixelshuffle": 1x1x1 conv to 8F channels + depth-to-space — same
+    # linear family as ConvTranspose(k=2,s=2) but runs as a dense GEMM with
+    # 8x the output channels (fills MXU lanes); "convtranspose": classic.
+    upsample_mode: str = "pixelshuffle"
+    # jax.checkpoint each resolution block: recompute activations in the
+    # backward pass, trading FLOPs for HBM (larger patches/batches).
+    remat: bool = False
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Mesh axis name for spatial-partition inference (norm moments pmean'd

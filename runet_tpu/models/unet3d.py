@@ -78,6 +78,15 @@ class EncoderBlock(nn.Module):
         return x
 
 
+def depth_to_space_3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, D, H, W, r³·F) -> (B, rD, rH, rW, F)."""
+    B, D, H, W, C = x.shape
+    F = C // (r * r * r)
+    x = x.reshape(B, D, H, W, r, r, r, F)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D * r, H * r, W * r, F)
+
+
 class DecoderBlock(nn.Module):
     features: int
     negative_slope: float = 1e-2
@@ -85,17 +94,32 @@ class DecoderBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
+    upsample_mode: str = "pixelshuffle"
 
     @nn.compact
     def __call__(self, x, skip):
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(2, 2, 2),
-            strides=(2, 2, 2),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        if self.upsample_mode == "pixelshuffle":
+            # Equivalent linear family to ConvTranspose(k=2, s=2): each
+            # output voxel is a linear map of exactly one input voxel. As a
+            # 1x1x1 conv the contraction has 8F output channels — a dense
+            # GEMM that fills the MXU lanes (F=32 alone uses 32/128).
+            x = nn.Conv(
+                self.features * 8,
+                kernel_size=(1, 1, 1),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
+            x = depth_to_space_3d(x, 2)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=(2, 2, 2),
+                strides=(2, 2, 2),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(x)
         x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         kw = dict(
             negative_slope=self.negative_slope,
@@ -142,15 +166,26 @@ class UNet3D(nn.Module):
             axis_name=cfg.spatial_axis,
         )
 
+        enc_cls, dec_cls = EncoderBlock, DecoderBlock
+        if cfg.remat:
+            # Recompute block activations during backward (HBM for FLOPs).
+            enc_cls = nn.remat(EncoderBlock)
+            dec_cls = nn.remat(DecoderBlock)
+
         x = x.astype(dtype)
         skips = []
+        # Explicit names keep param paths stable across the remat toggle
+        # (nn.remat renames the class, which would rename default paths and
+        # break checkpoint resume).
         for lvl, f in enumerate(feats):
-            x = EncoderBlock(f, downsample=lvl > 0, **kw)(x)
+            x = enc_cls(f, downsample=lvl > 0, name=f"enc{lvl}", **kw)(x)
             if lvl < len(feats) - 1:
                 skips.append(x)
 
         for lvl in reversed(range(len(feats) - 1)):
-            x = DecoderBlock(feats[lvl], **kw)(x, skips[lvl])
+            x = dec_cls(
+                feats[lvl], upsample_mode=cfg.upsample_mode, name=f"dec{lvl}", **kw
+            )(x, skips[lvl])
 
         logits = nn.Conv(
             cfg.num_classes,

@@ -1,0 +1,36 @@
+"""Honest latency measurement through the axon tunnel (SURVEY.md §5.1).
+
+``block_until_ready`` does not sync through the tunnel, and single-call
+timing is dominated by RPC round-trips. The reliable protocol: enqueue N
+identical calls back-to-back, force completion with one final one-element
+fetch, divide. Used by model-variant benchmarking and perf work.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def pipelined_ms(fn, args: tuple, n: int = 20, warmup: int = 2) -> float:
+    """Mean per-call latency in ms of fn(*args), pipelined."""
+    for _ in range(warmup):
+        out = fn(*args)
+    _force(out)
+    t0 = time.monotonic()
+    outs = [fn(*args) for _ in range(n)]
+    _force(outs[-1])
+    for o in outs:
+        _force(o)
+    return (time.monotonic() - t0) / n * 1000.0
+
+
+def _force(out) -> None:
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            np.asarray(leaf.ravel()[0])
+            return

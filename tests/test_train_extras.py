@@ -1,0 +1,82 @@
+"""Gradient accumulation + rematerialization (SURVEY.md §2.3, §5)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from runet_tpu.config import ModelConfig, TrainConfig
+from runet_tpu.models.unet3d import UNet3D, init_params
+from runet_tpu.train.state import create_train_state, make_train_step
+
+
+def _setup(grad_accum=1, remat=False):
+    cfg = ModelConfig(
+        num_classes=2, base_features=4, num_levels=2, compute_dtype="float32",
+        remat=remat,
+    )
+    tcfg = TrainConfig(
+        lr=1e-2, warmup_steps=0, lr_schedule="const", weight_decay=0.0,
+        grad_accum=grad_accum,
+    )
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (8, 8, 8))
+    state = create_train_state(model, params, tcfg)
+    return model, state
+
+
+def test_grad_accum_matches_full_batch():
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(4, 8, 8, 8, 1)).astype(np.float32)
+    labels = (rng.uniform(size=(4, 8, 8, 8)) < 0.3).astype(np.int32)
+
+    model, state_full = _setup(grad_accum=1)
+    step_full = make_train_step(model)
+    state_full, _ = step_full(state_full, jnp.asarray(images), jnp.asarray(labels))
+
+    model2, state_acc = _setup(grad_accum=2)
+    step_acc = make_train_step(model2)
+    state_acc, _ = step_acc(state_acc, jnp.asarray(images[:2]), jnp.asarray(labels[:2]))
+    state_acc, _ = step_acc(state_acc, jnp.asarray(images[2:]), jnp.asarray(labels[2:]))
+
+    # MultiSteps averages micro-grads == full-batch grad (equal halves)...
+    # except the dice loss is nonlinear in the batch, so allow tolerance on
+    # the CE+dice mix: compare updated params loosely.
+    p1 = jax.tree_util.tree_leaves(state_full.params)
+    p2 = jax.tree_util.tree_leaves(state_acc.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_grad_accum_only_applies_every_k():
+    model, state = _setup(grad_accum=2)
+    step = make_train_step(model)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    labels = jnp.asarray((rng.uniform(size=(1, 8, 8, 8)) < 0.3).astype(np.int32))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = step(state, images, labels)
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    # After the first micro-step params must be UNCHANGED.
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, images, labels)
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
+
+
+def test_remat_same_grads():
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    labels = jnp.asarray((rng.uniform(size=(1, 8, 8, 8)) < 0.3).astype(np.int32))
+
+    # Same init params for both (block names are remat-stable), so grads
+    # and losses must match exactly up to float assoc.
+    outs = []
+    for remat in (False, True):
+        model, state = _setup(remat=remat)
+        step = make_train_step(model)
+        state, aux = step(state, images, labels)
+        outs.append((jax.tree_util.tree_leaves(state.params), float(aux["loss"])))
+    assert abs(outs[0][1] - outs[1][1]) < 1e-6
+    for a, b in zip(outs[0][0], outs[1][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
