@@ -28,7 +28,8 @@ import numpy as np
 
 CASE_SHAPE = (512, 512, 160)
 CASE_SPACING = (0.78125, 0.78125, 3.0)
-TRAIN_STEPS = 120
+TRAIN_STEPS = 80
+TRAIN_PATCH = (96, 96, 96)  # smaller patches: cheaper bench setup, same FLOPs path at infer
 
 
 def make_case(seed=0):
@@ -82,7 +83,7 @@ def trained_bundle(preset: str, data_root: Path):
 
         tr = dataclasses.replace(
             cfg.train, batch_size=1, steps=TRAIN_STEPS, warmup_steps=20,
-            val_every=10**9, ckpt_every=10**9, lr=1e-3,
+            val_every=10**9, ckpt_every=10**9, lr=1e-3, patch_size=TRAIN_PATCH,
         )
         bcfg = dataclasses.replace(cfg, train=tr)
         state, _ = train(

@@ -151,6 +151,23 @@ def cmd_evaluate(args):
         print(json.dumps({"summary": mean}))
 
 
+def cmd_visualize(args):
+    from runet_tpu.eval.visualize import save_case_panel
+    from runet_tpu.io.nifti import load_volume
+
+    out_dir = Path(args.out)
+    for cid, vol, gt in _iter_cases(Path(args.data)):
+        pred = None
+        if args.pred:
+            pred_path = Path(args.pred) / f"{cid}.nii.gz"
+            if pred_path.exists():
+                pred = load_volume(pred_path).data
+        p = save_case_panel(
+            out_dir / f"{cid}.png", vol.data, labels=gt, pred=pred, title=cid
+        )
+        print(f"{cid}: wrote {p}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="runet_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -185,6 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--coarse", default=None)
     sp.add_argument("--config", default=None)
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("visualize", help="write PNG overlay panels per case")
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--pred", default=None, help="dir of predicted .nii.gz (from predict)")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_visualize)
     return p
 
 

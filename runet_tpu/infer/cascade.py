@@ -24,7 +24,9 @@ label block — never per window.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,6 +93,55 @@ def _bucket_up(size: np.ndarray, bucket: int) -> tuple[int, int, int]:
     return tuple(int(-(-int(s) // bucket) * bucket) for s in size)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "out_shape", "scale", "hu_window", "hu_stats"),
+)
+def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_stats):
+    """Fused coarse stage: resample→normalize→pad32→forward→argmax, one
+    dispatch (same tunnel round-trip rationale as _roi_program)."""
+    from runet_tpu.infer.sliding_window import _single_pass
+
+    x = resample(image, out_shape, scale, "linear")
+    x = normalize(x, hu_window, hu_stats)
+    div32 = tuple(-(-s // 32) * 32 for s in x.shape)
+    pads = [(0, p - s) for s, p in zip(x.shape, div32)]
+    if any(p[1] for p in pads):
+        x = jnp.pad(x, pads, constant_values=jnp.min(x))  # pad with "air"
+    labels, _ = _single_pass(apply_fn, params, x[..., None])
+    return labels[: out_shape[0], : out_shape[1], : out_shape[2]]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "padded_shape", "fine_shape", "crop_shape",
+        "scale_nf", "scale_fn", "num_classes", "hu_window", "hu_stats",
+    ),
+)
+def _roi_program(
+    apply_fn,
+    params,
+    crop,  # (cx, cy, cz) native-spacing HU crop (f16/int16)
+    padded_shape, fine_shape, crop_shape,
+    scale_nf, scale_fn,
+    num_classes, hu_window, hu_stats,
+):
+    """One fused device program per ROI: resample→normalize→U-Net forward→
+    argmax→one-hot-resample back to the native crop grid. A single dispatch
+    + a single uint8 fetch — the per-call tunnel round-trip (~38 ms
+    measured) would otherwise dominate the fine stage."""
+    from runet_tpu.infer.sliding_window import _single_pass
+
+    roi = resample(crop, padded_shape, scale_nf, "linear")
+    roi = normalize(roi, hu_window, hu_stats)
+    labels, _ = _single_pass(apply_fn, params, roi[..., None])
+    labels = labels[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
+    return resample_labels_onehot(
+        labels.astype(jnp.int32), crop_shape, scale_fn, num_classes
+    ).astype(jnp.uint8)
+
+
 def predict_volume(fine: ModelBundle, image: np.ndarray, native_spacing) -> np.ndarray:
     """BASELINE config 2: fine model sliding-window over the whole volume,
     labels resampled back to the native grid."""
@@ -122,14 +173,37 @@ def predict_case(
     # ---- coarse localization ----
     # Host-side integer striding before upload: localization tolerates the
     # aliasing, and it cuts the (tunnel-bound, ~36 MB/s) transfer by the
-    # stride product (e.g. 42M -> 2.6M voxels for 0.78mm -> 3.2mm).
+    # stride product (e.g. 42M -> 2.6M voxels for 0.78mm -> 3.2mm). The
+    # whole stage (resample→normalize→forward→argmax) is one dispatch when
+    # the single-pass path applies.
     with t.phase("coarse_preprocess"):
         stride = np.maximum((c_sp // n_sp).astype(int), 1)
         strided = image[:: stride[0], :: stride[1], :: stride[2]]
         strided_spacing = tuple(n_sp * stride)
-        coarse_vol = _preprocess_on_device(strided, strided_spacing, coarse.preprocess)
+        c_pp = coarse.preprocess
+        c_out_shape = output_shape_for_spacing(
+            strided.shape, strided_spacing, c_pp.spacing
+        )
+        c_scale = tuple(d / s for s, d in zip(strided_spacing, c_pp.spacing))
+        c_single = (
+            coarse.infer.single_pass_ratio > 0
+            and np.prod([-(-s // 32) * 32 for s in c_out_shape])
+            <= coarse.infer.single_pass_ratio * np.prod(coarse.infer.patch_size)
+        )
     with t.phase("coarse_predict"):
-        coarse_labels = _predict_stage(coarse, coarse_vol)
+        if c_single:
+            coarse_labels = _coarse_program(
+                coarse.apply_fn,
+                coarse.params,
+                jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(strided))),
+                tuple(c_out_shape),
+                c_scale,
+                c_pp.hu_window,
+                c_pp.hu_stats,
+            )
+        else:
+            coarse_vol = _preprocess_on_device(strided, strided_spacing, c_pp)
+            coarse_labels = _predict_stage(coarse, coarse_vol)
         mask = (np.asarray(coarse_labels) > 0).astype(np.uint8)
 
     with t.phase("coarse_boxes"):
@@ -140,6 +214,7 @@ def predict_case(
     native_canvas = np.zeros(image.shape, np.uint8)
     margin_vox = np.ceil(cascade.roi_margin_mm / n_sp).astype(int)
     native_boxes: list[tuple[np.ndarray, np.ndarray]] = []
+    roi_results: list[tuple[np.ndarray, np.ndarray, jnp.ndarray]] = []
 
     for lo_c, hi_c in boxes:
         # coarse voxel -> mm -> NATIVE voxel, plus margin.
@@ -164,28 +239,57 @@ def predict_case(
         fine_shape = output_shape_for_spacing(crop.shape, native_spacing, tuple(f_sp))
         padded_shape = _bucket_up(np.asarray(fine_shape), cascade.roi_bucket)
         scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
-        with t.phase("roi_preprocess"):
-            roi = resample(
-                _to_transfer_dtype(np.ascontiguousarray(crop)), padded_shape, scale_nf, "linear"
-            )
-            roi = normalize(roi, fine.preprocess.hu_window, fine.preprocess.hu_stats)
+        scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
 
-        with t.phase("roi_predict"):
-            roi_labels = _predict_stage(fine, roi)[
-                : fine_shape[0], : fine_shape[1], : fine_shape[2]
-            ]
+        single_pass = (
+            fine.infer.single_pass_ratio > 0
+            and np.prod(padded_shape)
+            <= fine.infer.single_pass_ratio * np.prod(fine.infer.patch_size)
+        )
+        if single_pass:
+            # Entire ROI chain as ONE dispatch; fetched after all ROIs are
+            # in flight so the device pipelines them.
+            with t.phase("roi_dispatch"):
+                dev = _roi_program(
+                    fine.apply_fn,
+                    fine.params,
+                    jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(crop))),
+                    padded_shape,
+                    tuple(fine_shape),
+                    tuple(crop.shape),
+                    scale_nf,
+                    scale_fn,
+                    fine.num_classes,
+                    fine.preprocess.hu_window,
+                    fine.preprocess.hu_stats,
+                )
+            roi_results.append((lo, hi, dev))
+        else:
+            with t.phase("roi_preprocess"):
+                roi = resample(
+                    _to_transfer_dtype(np.ascontiguousarray(crop)),
+                    padded_shape,
+                    scale_nf,
+                    "linear",
+                )
+                roi = normalize(roi, fine.preprocess.hu_window, fine.preprocess.hu_stats)
+            with t.phase("roi_predict"):
+                roi_labels = _predict_stage(fine, roi)[
+                    : fine_shape[0], : fine_shape[1], : fine_shape[2]
+                ]
+            with t.phase("roi_labels_back"):
+                dev = resample_labels_onehot(
+                    roi_labels.astype(jnp.int32),
+                    tuple(crop.shape),
+                    scale_fn,
+                    fine.num_classes,
+                ).astype(jnp.uint8)
+            roi_results.append((lo, hi, dev))
 
-        # Fine ROI labels -> native crop grid (one-hot-linear), paste. Only
-        # the final uint8 crop labels ever leave the device.
-        with t.phase("roi_labels_back"):
-            scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
-            crop_labels = np.asarray(
-                resample_labels_onehot(
-                    roi_labels.astype(jnp.int32), tuple(crop.shape), scale_fn, fine.num_classes
-                ),
-                np.uint8,
-            )
-        with t.phase("paste"):
+    # ---- fetch + paste (device work for all ROIs already in flight) ----
+    for lo, hi, dev in roi_results:
+        with t.phase("roi_fetch_paste"):
+            crop_labels = np.asarray(dev)
             dst = native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
             native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = np.where(
                 crop_labels > 0, crop_labels, dst

@@ -29,8 +29,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _stats_kernel(x_ref, sum_ref, sq_ref):
     x = x_ref[0].astype(jnp.float32)  # (T, C)
-    sum_ref[0, 0] = jnp.sum(x, axis=0)
-    sq_ref[0, 0] = jnp.sum(x * x, axis=0)
+    # Outputs are (1, 1, 1, C) blocks of a (B, n_tiles, 1, C) array — the
+    # extra singleton keeps the sublane dim == full array dim (TPU BlockSpec
+    # constraint: last two dims divisible by (8, 128) or full).
+    sum_ref[0, 0, 0] = jnp.sum(x, axis=0)
+    sq_ref[0, 0, 0] = jnp.sum(x * x, axis=0)
 
 
 def _apply_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, neg_slope_ref, o_ref):
@@ -74,18 +77,18 @@ def fused_instance_norm_lrelu(
             pl.BlockSpec((1, T, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_tiles, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 1, C), jnp.float32),
         ],
         interpret=interpret,
     )(xs)
 
-    mean = sums.sum(axis=1) / S  # (B, C)
-    var = sqs.sum(axis=1) / S - mean * mean
+    mean = sums.sum(axis=(1, 2)) / S  # (B, C)
+    var = sqs.sum(axis=(1, 2)) / S - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
 
     out = pl.pallas_call(

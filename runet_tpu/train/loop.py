@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from runet_tpu.config import Config
-from runet_tpu.data.augment import augment_batch
 from runet_tpu.data.dataset import PreparedCase, prepare_dataset
 from runet_tpu.data.pipeline import PatchLoader
 from runet_tpu.data.sampler import sample_batch
@@ -106,7 +105,7 @@ def train(
     logger = MetricsLogger(out_dir)
     logger.write_config(cfg.to_json())
 
-    train_step = make_train_step(model)
+    train_step = make_train_step(model, augment=cfg.train.augment)
     eval_step = make_eval_step(model, cfg.model.num_classes)
 
     sharding = comm.batch_sharding(mesh, 5)
@@ -128,8 +127,9 @@ def train(
             labels = jax.device_put(labels, comm.batch_sharding(mesh, 4))
             if cfg.train.augment:
                 akey = jax.random.fold_in(rng_key, step)
-                images, labels = augment_batch(akey, images, labels)
-            state, aux = train_step(state, images, labels)
+                state, aux = train_step(state, images, labels, akey)
+            else:
+                state, aux = train_step(state, images, labels)
 
             if (step + 1) % log_every == 0 or step + 1 == steps:
                 aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}

@@ -54,13 +54,17 @@ def create_train_state(model, params, cfg: TrainConfig) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
 
 
-def make_train_step(model, include_background_dice: bool = False):
-    """Single fused fwd+bwd+update step; jit with donated state.
+def make_train_step(model, include_background_dice: bool = False, augment: bool = False):
+    """Single fused step: (augment→)fwd+bwd+update in ONE jitted program,
+    with donated state. One device program per step matters doubly here:
+    XLA fuses augmentation into the step, and each dispatch costs a fixed
+    ~38 ms round-trip through the PJRT tunnel (utils/latency.py).
 
     Works unsharded on one device and data-parallel under GSPMD when the
     batch carries a ``data``-axis NamedSharding (parallel/comm.py) — XLA
     inserts the gradient all-reduce (SURVEY.md §3.1 rebuild equivalent).
     """
+    from runet_tpu.data.augment import augment_one
     from runet_tpu.train.losses import dice_ce_loss
 
     def loss_fn(params, images, labels):
@@ -68,14 +72,19 @@ def make_train_step(model, include_background_dice: bool = False):
         loss, aux = dice_ce_loss(logits, labels, include_background=include_background_dice)
         return loss, aux
 
-    def train_step(state: TrainState, images, labels):
+    def train_step(state: TrainState, images, labels, key=None):
+        if augment:
+            keys = jax.random.split(key, images.shape[0])
+            images, labels = jax.vmap(augment_one)(keys, images, labels)
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
         gnorm = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         aux = dict(aux, grad_norm=gnorm)
         return state, aux
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if augment:
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+    return jax.jit(lambda s, i, l: train_step(s, i, l), donate_argnums=(0,))
 
 
 def make_eval_step(model, num_classes: int):
