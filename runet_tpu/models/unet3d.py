@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -33,18 +34,39 @@ class ConvNormAct(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            kernel_size=(3, 3, 3),
-            strides=self.strides,
-            padding="SAME",
-            use_bias=False,  # bias is redundant under instance norm
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        # The kernel param is owned here (not by nn.Conv) so the XLA and
+        # Pallas paths share one checkpoint-stable parameter.
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, self.features),
+            self.param_dtype,
+        )
+        use_pallas = False
+        if self.use_pallas_conv and self.strides == (1, 1, 1):
+            from runet_tpu.kernels.conv3d import pallas_conv_applicable
+
+            use_pallas = pallas_conv_applicable(x.shape, cin)
+        x = x.astype(self.dtype)
+        if use_pallas:
+            from runet_tpu.kernels.conv3d import pallas_conv3x3
+
+            k16 = kernel.astype(self.dtype)
+            x = jax.vmap(lambda v: pallas_conv3x3(v, k16))(x)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding="SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         x = InstanceNorm(
             eps=self.norm_eps,
             dtype=self.dtype,
@@ -63,6 +85,8 @@ class EncoderBlock(nn.Module):
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
 
+    use_pallas_conv: bool = False
+
     @nn.compact
     def __call__(self, x):
         stride = (2, 2, 2) if self.downsample else (1, 1, 1)
@@ -72,6 +96,7 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
+            use_pallas_conv=self.use_pallas_conv,
         )
         x = ConvNormAct(self.features, strides=stride, **kw)(x)
         x = ConvNormAct(self.features, **kw)(x)
@@ -95,6 +120,7 @@ class DecoderBlock(nn.Module):
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
     upsample_mode: str = "pixelshuffle"
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
@@ -127,6 +153,7 @@ class DecoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
+            use_pallas_conv=self.use_pallas_conv,
         )
         x = ConvNormAct(self.features, **kw)(x)
         x = ConvNormAct(self.features, **kw)(x)
@@ -164,6 +191,7 @@ class UNet3D(nn.Module):
             dtype=dtype,
             param_dtype=param_dtype,
             axis_name=cfg.spatial_axis,
+            use_pallas_conv=cfg.use_pallas_conv,
         )
 
         enc_cls, dec_cls = EncoderBlock, DecoderBlock
