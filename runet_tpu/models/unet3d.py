@@ -59,14 +59,16 @@ class ConvNormAct(nn.Module):
             k16 = kernel.astype(self.dtype)
             x = jax.vmap(lambda v: pallas_conv3x3(v, k16))(x)
         else:
+            # No preferred_element_type: the MXU accumulates bf16 matmuls in
+            # f32 regardless, and a f32 output here makes the autodiff
+            # transpose-conv see mismatched (f32 cotangent, bf16 kernel).
             x = jax.lax.conv_general_dilated(
                 x,
                 kernel.astype(self.dtype),
                 window_strides=self.strides,
                 padding="SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
+            )
         x = InstanceNorm(
             eps=self.norm_eps,
             dtype=self.dtype,

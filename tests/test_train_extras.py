@@ -64,6 +64,23 @@ def test_grad_accum_only_applies_every_k():
     assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
 
 
+def test_bf16_train_step_differentiable():
+    """Regression: the bf16 conv path must be differentiable (a f32
+    preferred_element_type on the conv made the transpose-conv see
+    mismatched dtypes; caught only on TPU because other tests use f32)."""
+    cfg = ModelConfig(num_classes=2, base_features=4, num_levels=2, compute_dtype="bfloat16")
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=0, lr_schedule="const")
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (8, 8, 8))
+    state = create_train_state(model, params, tcfg)
+    step = make_train_step(model, augment=True)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    lab = jnp.asarray((rng.uniform(size=(1, 8, 8, 8)) < 0.3).astype(np.int32))
+    state, aux = step(state, img, lab, jax.random.key(1))
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_remat_same_grads():
     rng = np.random.default_rng(2)
     images = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
