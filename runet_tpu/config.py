@@ -145,7 +145,8 @@ def _preset_coarse() -> Config:
         name="coarse",
         model=ModelConfig(num_classes=2, base_features=24, num_levels=4, use_pallas_conv=False),
         preprocess=PreprocessConfig(spacing=(3.2, 3.2, 3.2)),
-        train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5),
+        train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5,
+                          batch_size=1, grad_accum=2),
         infer=InferConfig(patch_size=(128, 128, 128), overlap=0.5),
     )
 
@@ -156,7 +157,9 @@ def _preset_fine_kits() -> Config:
         name="fine_kits",
         model=ModelConfig(num_classes=3, use_pallas_conv=False),
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
-        train=TrainConfig(patch_size=(128, 128, 128)),
+        # batch 1 + 2-step gradient accumulation: effective batch 2 within
+        # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
+        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1, grad_accum=2),
         infer=InferConfig(patch_size=(128, 128, 128)),
     )
 
@@ -173,7 +176,9 @@ def _preset_renal_anatomy() -> Config:
         name="renal_anatomy",
         model=ModelConfig(num_classes=5, use_pallas_conv=False),
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
-        train=TrainConfig(patch_size=(128, 128, 128)),
+        # batch 1 + 2-step gradient accumulation: effective batch 2 within
+        # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
+        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1, grad_accum=2),
         infer=InferConfig(patch_size=(128, 128, 128)),
     )
 

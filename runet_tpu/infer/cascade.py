@@ -179,6 +179,13 @@ def predict_case(
     with t.phase("coarse_preprocess"):
         stride = np.maximum((c_sp // n_sp).astype(int), 1)
         strided = image[:: stride[0], :: stride[1], :: stride[2]]
+        # Bucket the strided shape up to multiples of 16 (edge-pad) so cases
+        # with different z-extents reuse the same compiled coarse program
+        # (each fresh XLA compile costs ~30-60 s on this 1-core host).
+        bucket16 = tuple(-(-s // 16) * 16 for s in strided.shape)
+        if bucket16 != strided.shape:
+            pads = [(0, b - s) for s, b in zip(strided.shape, bucket16)]
+            strided = np.pad(strided, pads, mode="edge")
         strided_spacing = tuple(n_sp * stride)
         c_pp = coarse.preprocess
         c_out_shape = output_shape_for_spacing(

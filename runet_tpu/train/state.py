@@ -72,7 +72,14 @@ def make_train_step(model, include_background_dice: bool = False, augment: bool 
         loss, aux = dice_ce_loss(logits, labels, include_background=include_background_dice)
         return loss, aux
 
+    num_classes = model.cfg.num_classes
+
     def train_step(state: TrainState, images, labels, key=None):
+        # Clip labels into the model's class range: the 2-class coarse
+        # localizer trains (kidney ∪ tumor) vs background on multi-class
+        # ground truth (BASELINE config 1); out-of-range gather indices are
+        # NaN on TPU.
+        labels = jnp.minimum(labels, num_classes - 1)
         if augment:
             keys = jax.random.split(key, images.shape[0])
             images, labels = jax.vmap(augment_one)(keys, images, labels)
@@ -91,6 +98,7 @@ def make_eval_step(model, num_classes: int):
     from runet_tpu.train.losses import hard_dice_per_class
 
     def eval_step(params, images, labels):
+        labels = jnp.minimum(labels, num_classes - 1)  # see make_train_step
         logits = model.apply({"params": params}, images)
         pred = jnp.argmax(logits, axis=-1)
         return hard_dice_per_class(pred, labels, num_classes)

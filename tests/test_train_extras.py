@@ -81,6 +81,22 @@ def test_bf16_train_step_differentiable():
     assert np.isfinite(float(aux["loss"]))
 
 
+def test_out_of_range_labels_clamped():
+    """Regression: a 2-class coarse model trained on 3-class ground truth
+    (tumor label 2) must binarize, not NaN (OOB take_along_axis is NaN on
+    TPU)."""
+    model, state = _setup()
+    step = make_train_step(model)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
+    lab = np.zeros((1, 8, 8, 8), np.int32)
+    lab[0, 2:6, 2:6, 2:6] = 1
+    lab[0, 3:5, 3:5, 3:5] = 2  # out of range for num_classes=2
+    state, aux = step(state, img, jnp.asarray(lab))
+    assert np.isfinite(float(aux["loss"]))
+    assert np.isfinite(float(aux["ce_loss"]))
+
+
 def test_remat_same_grads():
     rng = np.random.default_rng(2)
     images = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32))
