@@ -91,7 +91,14 @@ class InferConfig:
 @dataclasses.dataclass(frozen=True)
 class CascadeConfig:
     roi_margin_mm: float = 16.0  # margin around coarse kidney bbox
-    roi_bucket: int = 32  # ROI dims rounded up to multiples (recompile guard)
+    # ROI dims rounded up to multiples of this: coarser buckets mean fewer
+    # distinct jitted fine-stage shapes across a dataset (each fresh compile
+    # is ~30-60 s on a 1-core host) at ~10-20% padded-voxel overhead.
+    roi_bucket: int = 64
+    # Fixed canonical coarse-grid shape: every case compiles the SAME coarse
+    # program (512 mm abdominal FOV at 3.2 mm iso is <=160 voxels/axis).
+    # Falls back to 16-bucketed true shape if a case exceeds it.
+    coarse_canonical: tuple[int, int, int] = (160, 160, 160)
     max_components: int = 2  # keep <=2 largest kidney CCs
     # Hard cap on ROI physical extent per axis: a kidney+tumor fits well
     # inside 192 mm; this bounds fine-stage cost even if the coarse mask

@@ -179,22 +179,32 @@ def predict_case(
     with t.phase("coarse_preprocess"):
         stride = np.maximum((c_sp // n_sp).astype(int), 1)
         strided = image[:: stride[0], :: stride[1], :: stride[2]]
-        # Bucket the strided shape up to multiples of 16 (edge-pad) so cases
-        # with different z-extents reuse the same compiled coarse program
-        # (each fresh XLA compile costs ~30-60 s on this 1-core host).
-        bucket16 = tuple(-(-s // 16) * 16 for s in strided.shape)
-        if bucket16 != strided.shape:
-            pads = [(0, b - s) for s, b in zip(strided.shape, bucket16)]
+        # Bucket the strided shape up to multiples of 32 (edge-pad): the
+        # coarse program is specialized on (input, output) shapes, and each
+        # fresh XLA compile costs ~30-60 s on this 1-core host. In-plane
+        # dims are nearly constant across a dataset (512/stride); only a
+        # handful of z buckets remain, all cached on disk.
+        bucket32 = tuple(-(-s // 32) * 32 for s in strided.shape)
+        if bucket32 != strided.shape:
+            pads = [(0, b - s) for s, b in zip(strided.shape, bucket32)]
             strided = np.pad(strided, pads, mode="edge")
         strided_spacing = tuple(n_sp * stride)
         c_pp = coarse.preprocess
         c_out_shape = output_shape_for_spacing(
             strided.shape, strided_spacing, c_pp.spacing
         )
+        # Canonical coarse grid: resample positions clamp at the volume edge
+        # (edge padding), so requesting a larger fixed output shape is safe —
+        # every case then reuses ONE compiled coarse program. The mask is
+        # cropped back to the true shape below.
+        c_run_shape = tuple(
+            c if o <= c else -(-o // 16) * 16
+            for o, c in zip(c_out_shape, cascade.coarse_canonical)
+        )
         c_scale = tuple(d / s for s, d in zip(strided_spacing, c_pp.spacing))
         c_single = (
             coarse.infer.single_pass_ratio > 0
-            and np.prod([-(-s // 32) * 32 for s in c_out_shape])
+            and np.prod([-(-s // 32) * 32 for s in c_run_shape])
             <= coarse.infer.single_pass_ratio * np.prod(coarse.infer.patch_size)
         )
     with t.phase("coarse_predict"):
@@ -203,7 +213,7 @@ def predict_case(
                 coarse.apply_fn,
                 coarse.params,
                 jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(strided))),
-                tuple(c_out_shape),
+                c_run_shape,
                 c_scale,
                 c_pp.hu_window,
                 c_pp.hu_stats,
@@ -212,6 +222,7 @@ def predict_case(
             coarse_vol = _preprocess_on_device(strided, strided_spacing, c_pp)
             coarse_labels = _predict_stage(coarse, coarse_vol)
         mask = (np.asarray(coarse_labels) > 0).astype(np.uint8)
+        mask = mask[: c_out_shape[0], : c_out_shape[1], : c_out_shape[2]]
 
     with t.phase("coarse_boxes"):
         boxes = component_bounding_boxes(
