@@ -12,6 +12,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -41,6 +42,9 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
         check_vma=False,
     )
     def sharded_step(state, images, labels):
+        # Same label-range clamp as train/state.py (2-class coarse on
+        # multi-class GT binarizes; OOB gather is NaN on TPU).
+        labels = jnp.minimum(labels, model.cfg.num_classes - 1)
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         aux = jax.lax.pmean(aux, DATA_AXIS)
