@@ -1,0 +1,70 @@
+"""Edge-case coverage: big-endian NIfTI, config round-trip, keep-best."""
+
+import struct
+
+import numpy as np
+
+import jax
+
+from runet_tpu.config import Config, get_config
+from runet_tpu.io.nifti import load_volume, save_volume
+
+
+def test_nifti_big_endian(tmp_path):
+    # Hand-build a tiny big-endian header + payload.
+    data = np.arange(8, dtype=">i2").reshape(2, 2, 2)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 2, 2, 2, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 4)  # int16
+    struct.pack_into(">h", hdr, 72, 16)
+    struct.pack_into(">8f", hdr, 76, 1.0, 1.5, 1.5, 3.0, 0, 0, 0, 0)
+    struct.pack_into(">f", hdr, 108, 352.0)
+    struct.pack_into(">f", hdr, 112, 1.0)
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "be.nii"
+    p.write_bytes(bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F"))
+    vol = load_volume(p)
+    assert vol.spacing == (1.5, 1.5, 3.0)
+    np.testing.assert_array_equal(vol.data, np.arange(8).reshape(2, 2, 2))
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.nii"
+    p.write_bytes(b"\x00" * 400)
+    try:
+        load_volume(p)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_config_json_roundtrip_all_presets():
+    for name in ("coarse", "fine_kits", "cascade", "renal_anatomy", "dp_full"):
+        cfg = get_config(name)
+        rt = Config.from_json(cfg.to_json())
+        assert rt == cfg, name
+
+
+def test_checkpoint_keep_best(tmp_path):
+    from runet_tpu.config import ModelConfig, TrainConfig
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.checkpoint import CheckpointManager
+    from runet_tpu.train.state import create_train_state
+
+    model = UNet3D(ModelConfig(num_classes=2, base_features=4, num_levels=2, compute_dtype="float32"))
+    params = init_params(model, jax.random.key(0), (8, 8, 8))
+    state = create_train_state(model, params, TrainConfig())
+    mgr = CheckpointManager(tmp_path / "ckpt", keep=2)
+    mgr.save(1, jax.device_get(state), metrics={"val_dice": 0.5})
+    mgr.wait()
+    mgr.save(2, jax.device_get(state), metrics={"val_dice": 0.9})
+    mgr.wait()
+    mgr.save(3, jax.device_get(state), metrics={"val_dice": 0.7})
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    assert mgr.best_step() == 2  # keep-best on val_dice
+    restored = mgr.restore(state, step=mgr.best_step())
+    assert int(restored.step) == int(state.step)
+    mgr.close()
