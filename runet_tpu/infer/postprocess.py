@@ -58,6 +58,29 @@ def keep_largest_components(
     return out
 
 
+def _merge_overlapping_boxes(
+    boxes: list[tuple[np.ndarray, np.ndarray]],
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Union-merge AABBs until pairwise disjoint. Boxes can overlap after
+    margin expansion; labeling overlapping crops independently would let a
+    later box's write-back zero voxels of a component an earlier box kept."""
+    boxes = [(np.asarray(lo), np.asarray(hi)) for lo, hi in boxes]
+    merged = True
+    while merged:
+        merged = False
+        out: list[tuple[np.ndarray, np.ndarray]] = []
+        for lo, hi in boxes:
+            for i, (olo, ohi) in enumerate(out):
+                if np.all(lo < ohi) and np.all(olo < hi):  # AABB intersection
+                    out[i] = (np.minimum(lo, olo), np.maximum(hi, ohi))
+                    merged = True
+                    break
+            else:
+                out.append((lo, hi))
+        boxes = out
+    return boxes
+
+
 def keep_largest_components_in_boxes(
     seg: np.ndarray,
     boxes: list[tuple[np.ndarray, np.ndarray]],
@@ -68,10 +91,11 @@ def keep_largest_components_in_boxes(
 
     Cascade predictions are zero outside the pasted ROI boxes, so labeling
     the whole native volume is wasted single-core host time (~3 s at KiTS
-    scale). Label each box crop, rank component sizes globally across boxes,
-    keep the top ``max_components``. Components are per-box (boxes rarely
-    overlap; kidneys are disjoint by construction).
+    scale). Overlapping boxes are union-merged first (so each voxel is
+    labeled exactly once), then each box crop is labeled and component sizes
+    ranked globally across boxes; keep the top ``max_components``.
     """
+    boxes = _merge_overlapping_boxes(boxes)
     crops = []
     comps = []  # (size, box_idx, comp_id)
     for bi, (lo, hi) in enumerate(boxes):

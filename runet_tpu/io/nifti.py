@@ -148,6 +148,12 @@ def load_volume(path: str | Path) -> Volume:
     data = np.asarray(data, dtype=data.dtype.newbyteorder("="))
 
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
+    # Non-finite slope/inter appear in malformed-but-readable headers;
+    # nibabel semantics: treat as no scaling.
+    if not np.isfinite(slope):
+        slope = 1.0
+    if not np.isfinite(inter):
+        inter = 0.0
     if slope not in (0.0, 1.0) or inter != 0.0:
         if slope == 0.0:
             slope = 1.0

@@ -73,6 +73,10 @@ def spatial_shard_forward(
     """
     if volume.ndim != 4:
         raise ValueError(f"expected (X, Y, Z, C), got {volume.shape}")
+    if halo < 1:
+        # halo=0 would send full shards (x[-0:] == x) and crop to empty
+        # (logits[0:0]) — reject rather than silently corrupt.
+        raise ValueError(f"halo must be >= 1, got {halo}")
     n = mesh.shape[axis_name]
     if volume.shape[0] % n != 0:
         raise ValueError(f"X={volume.shape[0]} not divisible by {n} devices")

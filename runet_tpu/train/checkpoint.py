@@ -2,7 +2,17 @@
 
 Reference: ``torch.save(state_dict)`` best-val checkpoints (provenance
 [DOMAIN]). Rebuild: async Orbax saves of the full train state (params, opt
-state, step), periodic + keep-best on validation Dice, with mid-run resume.
+state, step), with a dual retention policy:
+
+- **best-K** on validation Dice (checkpoints saved with ``metrics``), and
+- **latest-N** regardless of metrics, so periodic crash-resume saves are
+  never garbage-collected by the best-K policy (round-1 bug: periodic saves
+  carried a sentinel ``val_dice=-1.0`` and were deleted immediately once K
+  validated checkpoints existed, silently losing up to ``val_every`` steps
+  on crash-resume).
+
+Periodic saves must pass ``metrics=None`` — they are then retained by the
+LatestN arm only and never compete on the best-K ladder.
 """
 
 from __future__ import annotations
@@ -12,26 +22,47 @@ from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
+from orbax.checkpoint._src.checkpoint_managers import preservation_policy as _pp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str | Path, keep: int = 3, best_metric: str = "val_dice"):
+    def __init__(
+        self,
+        directory: str | Path,
+        keep: int = 3,
+        best_metric: str = "val_dice",
+        latest_keep: int = 2,
+    ):
         self.directory = Path(directory).absolute()
         self.best_metric = best_metric
+        best_fn = lambda m: float(m.get(best_metric, -1.0))  # noqa: E731
+        policies = [_pp.LatestN(n=latest_keep)]
+        if best_metric:
+            policies.append(
+                _pp.BestN(
+                    get_metric_fn=best_fn,
+                    reverse=False,  # ascending sort; last `keep` = highest
+                    n=keep,
+                    keep_checkpoints_without_metrics=False,  # LatestN covers them
+                )
+            )
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep,
-            best_fn=(lambda m: float(m.get(best_metric, -1.0))) if best_metric else None,
+            best_fn=best_fn if best_metric else None,
             best_mode="max",
             create=True,
             enable_async_checkpointing=True,
+            preservation_policy=_pp.AnyPreservationPolicy(policies),
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, metrics: dict | None = None) -> None:
+        """Save; ``metrics=None`` marks a periodic (latest-N-only) save."""
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
+            metrics=(
+                {k: float(v) for k, v in metrics.items()} if metrics is not None else None
+            ),
         )
 
     def restore(self, abstract_state: Any, step: int | None = None) -> Any:

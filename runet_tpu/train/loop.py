@@ -150,7 +150,8 @@ def train(
                 )
                 ckpt.save(step + 1, jax.device_get(state), metrics={"val_dice": val_dice})
             elif (step + 1) % cfg.train.ckpt_every == 0:
-                ckpt.save(step + 1, jax.device_get(state), metrics={"val_dice": -1.0})
+                # metrics=None → retained by LatestN only, never GC'd by best-K
+                ckpt.save(step + 1, jax.device_get(state), metrics=None)
     finally:
         loader.close()
         ckpt.wait()

@@ -15,9 +15,11 @@ import numpy as np
 
 def pipelined_ms(fn, args: tuple, n: int = 20, warmup: int = 2) -> float:
     """Mean per-call latency in ms of fn(*args), pipelined."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    _force(out)
+    if out is not None:
+        _force(out)
     t0 = time.monotonic()
     outs = [fn(*args) for _ in range(n)]
     _force(outs[-1])

@@ -151,6 +151,23 @@ def test_keep_largest_components():
     assert (out[12:13, 12:13, 12:13] == 0).all()
 
 
+def test_keep_largest_in_overlapping_boxes():
+    """A component kept via one box must not lose voxels to an overlapping
+    box's independent write-back (boxes are union-merged first)."""
+    from runet_tpu.infer.postprocess import keep_largest_components_in_boxes
+
+    seg = np.zeros((12, 4, 4), np.uint8)
+    seg[2:6] = 1  # big component X, spans the box overlap
+    seg[8:10] = 1  # smaller component Y
+    boxes = [
+        (np.array([0, 0, 0]), np.array([7, 4, 4])),
+        (np.array([5, 0, 0]), np.array([12, 4, 4])),  # overlaps [5:7]
+    ]
+    out = keep_largest_components_in_boxes(seg, boxes, max_components=1)
+    assert (out[2:6] == 1).all(), "kept component lost voxels in overlap"
+    assert (out[8:10] == 0).all()
+
+
 def test_component_bounding_boxes():
     m = np.zeros((20, 20, 20), np.uint8)
     m[2:6, 3:7, 4:8] = 1

@@ -29,6 +29,26 @@ def test_nifti_big_endian(tmp_path):
     np.testing.assert_array_equal(vol.data, np.arange(8).reshape(2, 2, 2))
 
 
+def test_nifti_nonfinite_scl_slope_means_no_scaling(tmp_path):
+    # nibabel semantics: non-finite scl_slope/inter → no scaling (not NaN data).
+    data = np.arange(8, dtype=">i2").reshape(2, 2, 2)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 2, 2, 2, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 4)  # int16
+    struct.pack_into(">h", hdr, 72, 16)
+    struct.pack_into(">8f", hdr, 76, 1.0, 1.5, 1.5, 3.0, 0, 0, 0, 0)
+    struct.pack_into(">f", hdr, 108, 352.0)
+    struct.pack_into(">f", hdr, 112, float("nan"))  # scl_slope = NaN
+    struct.pack_into(">f", hdr, 116, float("nan"))  # scl_inter = NaN
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "nanslope.nii"
+    p.write_bytes(bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F"))
+    vol = load_volume(p)
+    assert np.isfinite(vol.data).all()
+    np.testing.assert_array_equal(vol.data, np.arange(8).reshape(2, 2, 2))
+
+
 def test_nifti_rejects_garbage(tmp_path):
     p = tmp_path / "bad.nii"
     p.write_bytes(b"\x00" * 400)
@@ -67,4 +87,42 @@ def test_checkpoint_keep_best(tmp_path):
     assert mgr.best_step() == 2  # keep-best on val_dice
     restored = mgr.restore(state, step=mgr.best_step())
     assert int(restored.step) == int(state.step)
+    mgr.close()
+
+
+def test_checkpoint_periodic_saves_survive_keep_best(tmp_path):
+    """Round-1 bug: periodic (metrics=None) saves were GC'd immediately by the
+    best-K policy, so crash-resume lost up to val_every steps. The latest-N
+    arm must retain them."""
+    from runet_tpu.config import ModelConfig, TrainConfig
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.checkpoint import CheckpointManager
+    from runet_tpu.train.state import create_train_state
+
+    model = UNet3D(ModelConfig(num_classes=2, base_features=4, num_levels=2, compute_dtype="float32"))
+    params = init_params(model, jax.random.key(0), (8, 8, 8))
+    state = create_train_state(model, params, TrainConfig())
+    host = jax.device_get(state)
+    mgr = CheckpointManager(tmp_path / "ckpt", keep=2, latest_keep=2)
+    # Two validated checkpoints fill the best-K ladder...
+    mgr.save(1, host, metrics={"val_dice": 0.8})
+    mgr.wait()
+    mgr.save(2, host, metrics={"val_dice": 0.9})
+    mgr.wait()
+    # ...then periodic saves land after them and must remain the latest.
+    mgr.save(3, host, metrics=None)
+    mgr.wait()
+    mgr.save(4, host, metrics=None)
+    mgr.wait()
+    assert mgr.latest_step() == 4, "periodic save was garbage-collected"
+    assert mgr.best_step() == 2  # best ignores metric-less periodic saves
+    restored = mgr.restore(state, step=4)
+    assert int(restored.step) == int(state.step)
+    # Older periodic saves beyond latest_keep are allowed to be dropped, but
+    # the best validated checkpoints must survive.
+    mgr.save(5, host, metrics=None)
+    mgr.wait()
+    steps = set(mgr._mgr.all_steps())
+    assert {1, 2} <= steps  # best-K arm retains validated ckpts
+    assert 5 in steps
     mgr.close()

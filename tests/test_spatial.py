@@ -109,3 +109,10 @@ def test_spatial_predict_pads_indivisible():
         lambda p, x: model.apply({"params": p}, x), params, vol, mesh, halo=8, divisor=2
     )
     assert labels.shape == (50, 16, 16)
+
+
+def test_spatial_forward_rejects_halo_zero():
+    mesh = _mesh(2)
+    vol = jnp.zeros((8, 4, 4, 1), jnp.float32)
+    with pytest.raises(ValueError, match="halo"):
+        spatial_shard_forward(lambda p, x: x, {}, vol, mesh, halo=0)

@@ -39,6 +39,14 @@ def test_pipelined_ms_runs():
     assert ms >= 0
 
 
+def test_pipelined_ms_warmup_zero():
+    import jax
+
+    f = jax.jit(lambda x: x * 2)
+    ms = pipelined_ms(f, (jnp.ones(8),), n=2, warmup=0)
+    assert ms >= 0
+
+
 def test_profiling_contexts_noop_safe(tmp_path):
     with trace(tmp_path):
         with annotate("span"):
