@@ -9,10 +9,67 @@ batch and fused by XLA into the step. Traced-boolean branches use
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# Isotropic zoom factor bank for the scale augmentation (SURVEY.md §2.1
+# "Augmentation ... possibly elastic/scale" [DOMAIN]). Includes 1.0 so the
+# identity is in-distribution. factor > 1 samples a wider input extent
+# (content shrinks, edge-clamped); factor < 1 magnifies the center.
+ZOOM_FACTORS = (0.85, 0.90, 0.95, 1.0, 1.05, 1.10, 1.15)
+
+
+@lru_cache(maxsize=64)
+def _zoom_matrix_bank(n: int, factors: tuple[float, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Stacked (K, n, n) center-aligned interpolation matrices.
+
+    Row j of matrix k samples input coordinate c + (j - c)·factor[k]
+    (c = center), clamped to [0, n-1] — same ≤2-nonzeros-per-row dense-matmul
+    formulation as preprocess/resample.py, so the traced-factor zoom is a
+    gather of ONE (n, n) matrix from a constant bank followed by MXU matmuls.
+    """
+    c = (n - 1) / 2.0
+    lin = np.zeros((len(factors), n, n), np.float32)
+    nst = np.zeros((len(factors), n, n), np.float32)
+    rows = np.arange(n)
+    for k, f in enumerate(factors):
+        pos = np.clip(c + (rows - c) * float(f), 0.0, float(n - 1))
+        i0 = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
+        i1 = np.minimum(i0 + 1, n - 1)
+        w = (pos - i0).astype(np.float32)
+        np.add.at(lin[k], (rows, i0), 1.0 - w)
+        np.add.at(lin[k], (rows, i1), w)
+        idx = np.clip(np.floor(pos + 0.5).astype(np.int64), 0, n - 1)
+        nst[k, rows, idx] = 1.0
+    return lin, nst
+
+
+def _zoom_axis(x, axis, W):
+    """out[..., j, ...] = Σ_i W[j, i]·x[..., i, ...]; W may be traced."""
+    n = x.shape[axis]
+    moved = jnp.moveaxis(x, axis, 0).reshape(n, -1)
+    out = jnp.dot(W, moved.astype(jnp.float32), preferred_element_type=jnp.float32)
+    new_shape = (n,) + tuple(s for a, s in enumerate(x.shape) if a != axis)
+    return jnp.moveaxis(out.reshape(new_shape), 0, axis)
+
+
+def _rand_zoom(key, img, lab, factors=ZOOM_FACTORS):
+    """Isotropic random scale; trilinear for image, nearest for labels."""
+    k = jax.random.randint(key, (), 0, len(factors))
+    out_img, out_lab = img, lab
+    lab_f = lab.astype(jnp.float32)
+    for axis in range(3):
+        lin_bank, nst_bank = _zoom_matrix_bank(img.shape[axis], factors)
+        Wl = jnp.asarray(lin_bank)[k]
+        Wn = jnp.asarray(nst_bank)[k]
+        out_img = _zoom_axis(out_img, axis, Wl)
+        lab_f = _zoom_axis(lab_f, axis, Wn)
+    # Nearest matrices are one-hot rows: values stay exact class ids.
+    out_lab = jnp.round(lab_f).astype(lab.dtype)
+    return out_img, out_lab
 
 
 def _rand_flip(key, img, lab):
@@ -42,18 +99,20 @@ def _rand_intensity(key, img):
     return img * scale + shift + noise
 
 
-def augment_one(key, img, lab):
+def augment_one(key, img, lab, zoom: bool = True):
     """img: (X, Y, Z, C) float; lab: (X, Y, Z) int."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     img3, lab3 = img[..., 0], lab
     img3, lab3 = _rand_flip(k1, img3, lab3)
     img3, lab3 = _rand_rot90(k2, img3, lab3)
+    if zoom:
+        img3, lab3 = _rand_zoom(k4, img3, lab3)
     img3 = _rand_intensity(k3, img3)
     return img3[..., None], lab3
 
 
-@partial(jax.jit, donate_argnums=(1, 2))
-def augment_batch(key, images, labels):
+@partial(jax.jit, donate_argnums=(1, 2), static_argnames=("zoom",))
+def augment_batch(key, images, labels, zoom: bool = True):
     """images: (B, X, Y, Z, C); labels: (B, X, Y, Z)."""
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(augment_one)(keys, images, labels)
+    return jax.vmap(partial(augment_one, zoom=zoom))(keys, images, labels)

@@ -85,11 +85,49 @@ def test_augment_shapes_and_label_consistency():
     images = rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32)
     labels = (rng.uniform(size=(2, 16, 16, 16)) < 0.2).astype(np.int32)
     key = jax.random.key(0)
-    out_img, out_lab = augment_batch(key, images, labels)
+    # Without zoom, geometric ops permute voxels: label count is invariant.
+    out_img, out_lab = augment_batch(key, images.copy(), labels.copy(), zoom=False)
     assert out_img.shape == images.shape
     assert out_lab.shape == labels.shape
-    # Geometric ops permute voxels: label voxel count is invariant.
     assert int(np.asarray(out_lab).sum()) == int(labels.sum())
+    # With zoom, labels must stay valid class ids (nearest resample).
+    _, out_lab_z = augment_batch(key, images.copy(), labels.copy(), zoom=True)
+    assert set(np.unique(np.asarray(out_lab_z))) <= {0, 1}
+
+
+def test_zoom_matches_scipy_oracle():
+    """Fixed-factor zoom == scipy map_coordinates at center-aligned coords."""
+    from scipy.ndimage import map_coordinates
+
+    from runet_tpu.data.augment import ZOOM_FACTORS, _rand_zoom
+
+    rng = np.random.default_rng(4)
+    img = rng.normal(size=(12, 12, 12)).astype(np.float32)
+    lab = rng.integers(0, 3, size=(12, 12, 12)).astype(np.int32)
+    # Find a key whose sampled factor index is a non-identity factor.
+    for seed in range(50):
+        key = jax.random.key(seed)
+        k = int(jax.random.randint(key, (), 0, len(ZOOM_FACTORS)))
+        if ZOOM_FACTORS[k] != 1.0:
+            break
+    f = ZOOM_FACTORS[k]
+    out_img, out_lab = _rand_zoom(key, img, lab)
+    n = 12
+    c = (n - 1) / 2.0
+    pos = np.clip(c + (np.arange(n) - c) * f, 0, n - 1)
+    coords = np.meshgrid(pos, pos, pos, indexing="ij")
+    exp_img = map_coordinates(img, coords, order=1, mode="nearest")
+    np.testing.assert_allclose(np.asarray(out_img), exp_img, rtol=1e-5, atol=1e-5)
+    # Label path: values from the original label set only.
+    assert set(np.unique(np.asarray(out_lab))) <= set(np.unique(lab))
+
+
+def test_zoom_identity_factor_is_noop():
+    from runet_tpu.data.augment import _zoom_matrix_bank
+
+    lin, nst = _zoom_matrix_bank(16, (1.0,))
+    np.testing.assert_array_equal(lin[0], np.eye(16, dtype=np.float32))
+    np.testing.assert_array_equal(nst[0], np.eye(16, dtype=np.float32))
 
 
 def test_augment_deterministic_given_key():
