@@ -36,8 +36,15 @@ class ModelConfig:
     remat: bool = False
     # Use the Pallas im2col conv kernel (kernels/conv3d.py) for stride-1
     # 3x3x3 convs whose shapes it supports (measured 1.4x over XLA at the
-    # 32-channel 128-cubed level-0 geometry); XLA elsewhere.
+    # 32-channel 128-cubed level-0 geometry); XLA elsewhere. Superseded by
+    # fused_blocks (below), kept for A/B measurement.
     use_pallas_conv: bool = False
+    # Layout-persistent fused Pallas blocks (kernels/fused_block.py): run
+    # stride-1 (Conv3D→IN→LeakyReLU) pairs in (D, H, C, W) layout with ONE
+    # transpose per block, conv+IN-stats fused in one kernel. Applies where
+    # shapes fit (level 0 at 128³ patches; more levels on larger volumes);
+    # XLA everywhere else. BASELINE north_star "fused Pallas kernels".
+    fused_blocks: bool = True
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Mesh axis name for spatial-partition inference (norm moments pmean'd
@@ -68,6 +75,12 @@ class TrainConfig:
     seed: int = 0
     ckpt_every: int = 1000
     val_every: int = 1000
+    # Full sliding-window validation over the val cases every N steps
+    # (0 = disabled). When enabled, keep-best checkpoint selection is keyed
+    # to this low-variance full-volume Dice instead of the noisy 8-patch
+    # estimate (the patch val stays on val_every cadence for step-rate
+    # logging). Use a multiple of val_every.
+    val_full_every: int = 0
     keep_checkpoints: int = 3
     augment: bool = True
 
@@ -77,7 +90,18 @@ class InferConfig:
     patch_size: tuple[int, int, int] = (128, 128, 128)
     overlap: float = 0.5  # stride = patch * (1 - overlap)
     sigma_scale: float = 0.125  # gaussian importance sigma = size * scale
-    window_batch: int = 1  # windows evaluated per device step
+    # Windows evaluated per device step on the windowed fallback path.
+    # MEASURED (v5e, 192x192x256 / 12 windows @128³): batch 1 = 963 ms,
+    # batch 2 = 1671 ms, batch 4 = OOM — XLA picks a 4x-padded layout for
+    # batched 3D convs at this geometry, so window batching is a REGRESSION,
+    # not a win. Keep 1; large ROIs are handled by expand_windows instead.
+    window_batch: int = 1
+    # Grow fallback windows toward the single_pass_ratio voxel budget
+    # ("super-windows"): a ROI beyond the single-pass budget is covered by a
+    # few large overlapping single-pass-sized windows (2-4 dispatches)
+    # instead of dozens of patch-sized ones — each dispatch costs ~38 ms
+    # tunnel RTT plus a ~60 ms forward here, so dispatch count dominates.
+    expand_windows: bool = True
     use_gaussian: bool = True
     # Whole-volume single forward when padded volume <= ratio * patch volume
     # (fully-convolutional fast path; 0 disables). Dominant effect on this

@@ -85,6 +85,7 @@ def _predict_stage(bundle: ModelBundle, volume):
         use_gaussian=bundle.infer.use_gaussian,
         window_batch=bundle.infer.window_batch,
         single_pass_ratio=bundle.infer.single_pass_ratio,
+        expand_windows=bundle.infer.expand_windows,
     )
 
 

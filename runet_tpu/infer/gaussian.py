@@ -31,3 +31,30 @@ def gaussian_importance_map(
     # Strictly positive so normalization never divides by zero.
     out = np.maximum(out, out[out > 0].min() if (out > 0).any() else 1e-8)
     return out.astype(dtype)
+
+
+@lru_cache(maxsize=32)
+def gaussian_importance_map_device(
+    patch_size: tuple[int, int, int],
+    sigma_scale: float = 0.125,
+):
+    """Device-resident importance map, built ON device from three 1-D
+    factors (≈1 KB host→device instead of the full 3-D map — a super-window
+    map is tens of MB, and the PJRT tunnel made per-call uploads the
+    dominant cost of the windowed fallback; measured in round 2). Cached
+    per (shape, sigma) for the process lifetime."""
+    import jax.numpy as jnp
+
+    axes = []
+    for n in patch_size:
+        center = (n - 1) / 2.0
+        sigma = max(n * sigma_scale, 1e-3)
+        x = np.arange(n, dtype=np.float64)
+        axes.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
+    peak = float(axes[0].max() * axes[1].max() * axes[2].max())
+    floor = float(
+        max(axes[0].min() * axes[1].min() * axes[2].min() / peak, 1e-30)
+    )
+    a, b, c = (jnp.asarray(v / peak ** (1 / 3), jnp.float32) for v in axes)
+    out = a[:, None, None] * b[None, :, None] * c[None, None, :]
+    return jnp.maximum(out, floor)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from runet_tpu.infer.gaussian import gaussian_importance_map
+from runet_tpu.infer.gaussian import gaussian_importance_map_device
 
 
 def compute_window_starts(dim: int, patch: int, stride: int) -> list[int]:
@@ -64,6 +64,44 @@ def make_start_table(
     if rem:
         table = np.concatenate([table, np.repeat(table[-1:], window_batch - rem, 0)])
     return table
+
+
+def expand_window_size(
+    vol_shape: tuple[int, int, int],
+    patch_size: tuple[int, int, int],
+    budget_ratio: float,
+    grow: int = 64,
+    div: int = 32,
+) -> tuple[int, ...]:
+    """Grow the sliding window from ``patch_size`` toward the volume dims
+    under a voxel budget of ``budget_ratio × prod(patch_size)``.
+
+    Rationale (measured on v5e through the PJRT tunnel): each window
+    dispatch costs ~38 ms RTT + a full forward, and XLA's batched-3D-conv
+    layouts at 128³ make window batching a regression (config.py
+    InferConfig.window_batch) — so the fallback for ROIs beyond the
+    single-pass budget covers the ROI with a FEW large overlapping windows
+    (each within the same HBM budget as the single-pass path) instead of
+    dozens of patch-sized ones. Growth is in ``grow``-voxel steps (bounds
+    compile classes); axes are clamped to the volume rounded up to ``div``
+    (U-Net divisibility).
+    """
+    vol32 = [-(-s // div) * div for s in vol_shape]
+    win = [min(p, v) for p, v in zip(patch_size, vol32)]
+    budget = float(budget_ratio) * float(np.prod(patch_size))
+    while True:
+        grown = False
+        # Grow the least-covered axis first (fewest windows saved otherwise).
+        for a in sorted(range(3), key=lambda a: win[a] / vol32[a]):
+            if win[a] >= vol32[a]:
+                continue
+            new = min(win[a] + grow, vol32[a])
+            if new * win[(a + 1) % 3] * win[(a + 2) % 3] <= budget:
+                win[a] = new
+                grown = True
+                break
+        if not grown:
+            return tuple(win)
 
 
 def pad_volume(
@@ -165,6 +203,7 @@ def sliding_window_predict(
     pad_value: float | None = None,
     return_probs: bool = False,
     single_pass_ratio: float = 1.75,
+    expand_windows: bool = True,
 ):
     """Whole-volume prediction; returns uint8 labels (and probs if asked),
     shaped like the input volume.
@@ -199,21 +238,49 @@ def sliding_window_predict(
             return labels, probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
         return labels
 
-    vol, padded_shape = pad_volume(vol, patch_size, pad_value)
+    win = tuple(patch_size)
+    if expand_windows and single_pass_ratio > 0:
+        # Super-windows: a few large single-pass-budget windows instead of
+        # dozens of patch-sized dispatches (see expand_window_size).
+        win = expand_window_size(
+            orig_shape, tuple(patch_size), single_pass_ratio, grow=2 * div, div=div
+        )
+    vol, padded_shape = pad_volume(vol, win, pad_value)
 
-    starts = make_start_table(padded_shape, patch_size, overlap, window_batch)
-    if use_gaussian:
-        gauss = gaussian_importance_map(tuple(patch_size), sigma_scale)
+    if win == tuple(patch_size):
+        starts = make_start_table(padded_shape, win, overlap, window_batch)
     else:
-        gauss = np.ones(patch_size, np.float32)
+        # Absolute overlap of overlap×patch voxels between adjacent
+        # super-windows (same blend margin as the patch scheme).
+        strides = [
+            max(1, w - int(round(p * overlap)))
+            for w, p in zip(win, patch_size)
+        ]
+        axes = [
+            compute_window_starts(s, w, st)
+            for s, w, st in zip(padded_shape, win, strides)
+        ]
+        starts = np.array(
+            [(a, b, c) for a in axes[0] for b in axes[1] for c in axes[2]],
+            dtype=np.int32,
+        )
+        rem = len(starts) % window_batch
+        if rem:
+            starts = np.concatenate(
+                [starts, np.repeat(starts[-1:], window_batch - rem, 0)]
+            )
+    if use_gaussian:
+        gauss = gaussian_importance_map_device(win, sigma_scale)
+    else:
+        gauss = jnp.ones(win, jnp.float32)  # device fill, no host transfer
 
     labels, probs = _sliding_window_device(
         apply_fn,
         params,
         vol.astype(jnp.float32),
         starts,
-        jnp.asarray(gauss),
-        tuple(patch_size),
+        gauss,
+        win,
         num_classes,
         window_batch,
     )

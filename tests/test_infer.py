@@ -83,6 +83,45 @@ def test_sliding_window_batching_invariant(window_batch):
     np.testing.assert_array_equal(np.asarray(labels), (vol > 0).astype(np.uint8))
 
 
+def test_expand_window_size_budget_and_divisibility():
+    from runet_tpu.infer.sliding_window import expand_window_size
+
+    patch = (128, 128, 128)
+    vol = (256, 256, 384)
+    win = expand_window_size(vol, patch, budget_ratio=8.0)
+    assert all(w % 32 == 0 for w in win)
+    assert np.prod(win) <= 8.0 * np.prod(patch)
+    assert all(w >= p for w, p in zip(win, patch))
+    # Must have actually grown: the budget fits ~2.6x of the volume's axes.
+    assert np.prod(win) > np.prod(patch)
+    # Never exceeds the volume rounded up to 32.
+    assert all(w <= -(-v // 32) * 32 for w, v in zip(win, vol))
+    # Volume inside the budget: window covers it fully (degenerates to one
+    # window == padded volume).
+    win_small = expand_window_size((130, 130, 130), patch, budget_ratio=8.0)
+    assert win_small == (160, 160, 160)
+
+
+def test_super_window_fallback_matches_dense_oracle():
+    """Forced past the single-pass path, super-windows must still reproduce
+    the dense decision exactly (seams between big windows included)."""
+    rng = np.random.default_rng(7)
+    vol = rng.normal(size=(20, 20, 52)).astype(np.float32)
+    labels = sliding_window_predict(
+        _oracle_model(), {}, vol, patch_size=(16, 16, 16), num_classes=2,
+        overlap=0.5,
+        single_pass_ratio=2.0,  # 20*20*52 > 2*16³ → fallback engages
+        expand_windows=True,
+    )
+    np.testing.assert_array_equal(np.asarray(labels), (vol > 0).astype(np.uint8))
+    # And with expansion disabled (plain patch windows) — same answer.
+    labels2 = sliding_window_predict(
+        _oracle_model(), {}, vol, patch_size=(16, 16, 16), num_classes=2,
+        overlap=0.5, single_pass_ratio=2.0, expand_windows=False,
+    )
+    np.testing.assert_array_equal(np.asarray(labels2), (vol > 0).astype(np.uint8))
+
+
 def test_sliding_window_volume_smaller_than_patch():
     rng = np.random.default_rng(2)
     vol = rng.normal(size=(10, 12, 8)).astype(np.float32)
