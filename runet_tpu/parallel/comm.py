@@ -7,6 +7,12 @@ module so training code never touches raw collectives:
 - ``make_mesh``: build a 1-D (or N-D) ``jax.sharding.Mesh`` over the local
   devices (TPU slice, or fake CPU devices under
   ``--xla_force_host_platform_device_count`` for tests).
+- ``make_hybrid_mesh`` + ``init_distributed``: multi-host readiness
+  (SURVEY.md §2.4 "DCN via jax.distributed.initialize if ever multi-host") —
+  a (dcn × ici) mesh whose outer axis crosses hosts and inner axis rides
+  ICI; data-parallel batches shard over BOTH axes so gradient reduction is
+  hierarchical (reduce-scatter on ICI first, small cross-DCN step after —
+  XLA's partitioner does this given the mesh device order).
 - Named axes: ``data`` for DP batch sharding; a future ``space`` axis is
   reserved for spatial partitioning (SURVEY.md §2.3 SP analog).
 - Sharding constructors for batches and replicated params.
@@ -24,6 +30,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPACE_AXIS = "space"
+DCN_AXIS = "dcn"  # across hosts (data-center network)
+ICI_AXIS = "ici"  # within a slice (inter-chip interconnect)
+
+_distributed_initialized = False
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Idempotent ``jax.distributed.initialize`` wrapper (SURVEY.md §2.4).
+
+    Returns True if a multi-process runtime was initialized (or already
+    was), False for the single-process case (no-op). Args default to the
+    standard env vars (JAX_COORDINATOR_ADDRESS etc. / TPU metadata) when
+    None, matching jax.distributed semantics.
+    """
+    global _distributed_initialized
+    if _distributed_initialized or jax.process_count() > 1:
+        _distributed_initialized = True
+        return True
+    if coordinator_address is None and num_processes is None:
+        # Nothing to coordinate with: explicit single-process run.
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _distributed_initialized = True
+    return True
 
 
 def make_mesh(
@@ -43,9 +81,53 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def make_hybrid_mesh(
+    n_dcn: int | None = None,
+    n_ici: int | None = None,
+    devices=None,
+) -> Mesh:
+    """(dcn × ici) mesh for multi-host DP (SURVEY.md §2.4).
+
+    Device order groups each host's local devices along the inner ``ici``
+    axis, so collectives over ``ici`` stay on-slice and only the outer
+    ``dcn`` axis crosses the data-center network. Defaults: one dcn row per
+    process, all local devices on the ici axis. On a single host this is a
+    (1, n) mesh — same program, no DCN traffic.
+
+    Testable on the fake CPU mesh by passing explicit (n_dcn, n_ici).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_dcn is None:
+        n_dcn = jax.process_count()
+    if n_ici is None:
+        n_ici = n // n_dcn
+    if n_dcn * n_ici != n:
+        raise ValueError(f"mesh ({n_dcn}, {n_ici}) != {n} devices")
+    dev_array = np.asarray(devices).reshape(n_dcn, n_ici)
+    return Mesh(dev_array, (DCN_AXIS, ICI_AXIS))
+
+
+def data_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes a data-parallel batch shards over: (data,) on the 1-D
+    mesh, (dcn, ici) on the hybrid mesh."""
+    names = tuple(mesh.axis_names)
+    if DATA_AXIS in names:
+        return (DATA_AXIS,)
+    if DCN_AXIS in names and ICI_AXIS in names:
+        return (DCN_AXIS, ICI_AXIS)
+    raise ValueError(f"mesh axes {names} have no data-parallel axis")
+
+
+def batch_spec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec sharding the leading (batch) dim over the data axes."""
+    return P(data_axes(mesh), *([None] * (ndim - 1)))
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard leading (batch) dim over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard leading (batch) dim over the data axes, replicate the rest."""
+    return NamedSharding(mesh, batch_spec(mesh, ndim))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -53,7 +135,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """device_put a pytree of host arrays with batch-dim sharding."""
+    """device_put a pytree of host arrays with batch-dim sharding.
+
+    Multi-process: each host passes its PROCESS-LOCAL batch shard (global
+    batch = concat over processes in process order); the returned arrays
+    are global. Single-process: plain sharded device_put.
+    """
+    if jax.process_count() > 1:
+
+        def put(x):
+            sh = batch_sharding(mesh, np.ndim(x))
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
     )

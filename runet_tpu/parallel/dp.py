@@ -17,7 +17,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from runet_tpu.parallel.comm import DATA_AXIS
+from runet_tpu.parallel.comm import data_axes
 from runet_tpu.train.losses import dice_ce_loss
 
 
@@ -25,9 +25,12 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
     """Returns a jitted step: (state, images(B,...), labels(B,...)) -> state, aux.
 
     Per-device: local grads on the local batch shard; cross-device:
-    ``pmean`` over the data axis; update applied identically everywhere
-    (params stay replicated).
+    ``pmean`` over the data axes — ``("data",)`` on the 1-D mesh or
+    ``("dcn", "ici")`` on the multi-host hybrid mesh, where the reduction
+    is hierarchical (on-slice ICI first, then the small DCN hop); update
+    applied identically everywhere (params stay replicated).
     """
+    axes = data_axes(mesh)
 
     def loss_fn(params, images, labels):
         logits = model.apply({"params": params}, images)
@@ -37,7 +40,7 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(axes), P(axes)),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -46,8 +49,8 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
         # multi-class GT binarizes; OOB gather is NaN on TPU).
         labels = jnp.minimum(labels, model.cfg.num_classes - 1)
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        aux = jax.lax.pmean(aux, DATA_AXIS)
+        grads = jax.lax.pmean(grads, axes)
+        aux = jax.lax.pmean(aux, axes)
         gnorm = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)
         return state, dict(aux, grad_norm=gnorm)

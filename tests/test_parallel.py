@@ -56,6 +56,50 @@ def test_dp_grads_match_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_hybrid_mesh_helpers():
+    """Multi-host-shaped (dcn × ici) mesh on the fake 8-device CPU mesh."""
+    mesh = comm.make_hybrid_mesh(2, 4)
+    assert mesh.axis_names == (comm.DCN_AXIS, comm.ICI_AXIS)
+    assert mesh.devices.shape == (2, 4)
+    assert comm.data_axes(mesh) == (comm.DCN_AXIS, comm.ICI_AXIS)
+    sh = comm.batch_sharding(mesh, 5)
+    assert sh.spec[0] == (comm.DCN_AXIS, comm.ICI_AXIS)
+    # Defaults on a single process: (1, n_local) — same program, no DCN hop.
+    mesh1 = comm.make_hybrid_mesh()
+    assert mesh1.devices.shape == (1, len(jax.devices()))
+    with pytest.raises(ValueError):
+        comm.make_hybrid_mesh(3, 3)
+
+
+def test_init_distributed_single_process_noop():
+    assert comm.init_distributed() is False  # nothing to coordinate with
+
+
+def test_dp_on_hybrid_mesh_matches_single_device(setup):
+    """The shard_map DP step over a (2, 4) hybrid mesh == single device."""
+    cfg, tcfg, model, params, images, labels = setup
+
+    state1 = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    step1 = make_train_step(model)
+    state1, aux1 = step1(state1, jnp.asarray(images), jnp.asarray(labels))
+
+    mesh = comm.make_hybrid_mesh(2, 4)
+    stateh = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    stateh = comm.replicate(mesh, stateh)
+    imh, labh = comm.shard_batch(mesh, (images, labels))
+    steph = make_dp_train_step(model, mesh)
+    stateh, auxh = steph(stateh, imh, labh)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(jax.device_get(stateh.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(
+        float(aux1["loss"]), float(auxh["loss"]), atol=1e-5
+    )
+
+
 def test_gspmd_jit_matches_shard_map(setup):
     cfg, tcfg, model, params, images, labels = setup
     mesh = comm.make_mesh(8)
