@@ -52,6 +52,46 @@ def validate_patches(
     return fg_mean, mean
 
 
+def validate_full(
+    model,
+    params,
+    cases: list[PreparedCase],
+    infer_cfg,
+    num_classes: int,
+) -> float:
+    """Full sliding-window validation: mean foreground Dice over whole val
+    volumes on the preprocessed grid (SURVEY.md §3.4 "validate + save
+    checkpoint" — the reference validated on held-out cases, not patches).
+    Returns the low-variance metric that keep-best selection keys on."""
+    from runet_tpu.eval.evaluate import evaluate_prediction
+    from runet_tpu.infer.sliding_window import sliding_window_predict
+
+    def apply_fn(p, w):
+        return model.apply({"params": p}, w)
+
+    scores = []
+    for case in cases:
+        pred = sliding_window_predict(
+            apply_fn,
+            params,
+            case.image,
+            tuple(infer_cfg.patch_size),
+            num_classes,
+            overlap=infer_cfg.overlap,
+            sigma_scale=infer_cfg.sigma_scale,
+            use_gaussian=infer_cfg.use_gaussian,
+            window_batch=infer_cfg.window_batch,
+            single_pass_ratio=infer_cfg.single_pass_ratio,
+            expand_windows=infer_cfg.expand_windows,
+        )
+        # Same label-range clamp as training (coarse binarizes multi-class GT).
+        gt = np.minimum(np.asarray(case.labels), num_classes - 1)
+        scores.append(
+            evaluate_prediction(np.asarray(pred), gt, num_classes)["dice_fg_mean"]
+        )
+    return float(np.mean(scores))
+
+
 def train(
     cfg: Config,
     data_root: str | Path | None = None,
@@ -148,7 +188,30 @@ def train(
                     val_dice=val_dice,
                     **{f"val_dice_c{k}": float(v) for k, v in enumerate(per_class)},
                 )
-                ckpt.save(step + 1, jax.device_get(state), metrics={"val_dice": val_dice})
+                use_full = cfg.train.val_full_every > 0
+                if use_full and (
+                    (step + 1) % cfg.train.val_full_every == 0 or step + 1 == steps
+                ):
+                    # Keep-best keys on the low-variance full-volume Dice.
+                    full_dice = validate_full(
+                        model, state.params, val_cases,
+                        cfg.infer, cfg.model.num_classes,
+                    )
+                    logger.log(step + 1, val_full_dice=full_dice)
+                    ckpt.save(
+                        step + 1, jax.device_get(state),
+                        metrics={"val_dice": full_dice},
+                    )
+                elif use_full:
+                    # Patch-val steps between full vals: latest-N retention
+                    # only — the noisy 8-patch estimate must not compete on
+                    # the best-K ladder against full-volume scores.
+                    ckpt.save(step + 1, jax.device_get(state), metrics=None)
+                else:
+                    ckpt.save(
+                        step + 1, jax.device_get(state),
+                        metrics={"val_dice": val_dice},
+                    )
             elif (step + 1) % cfg.train.ckpt_every == 0:
                 # metrics=None → retained by LatestN only, never GC'd by best-K
                 ckpt.save(step + 1, jax.device_get(state), metrics=None)
