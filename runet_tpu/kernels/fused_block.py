@@ -1,0 +1,297 @@
+"""Layout-persistent fused Pallas Conv3D + InstanceNorm-stats kernel
+(SURVEY.md §7 step 9; BASELINE north_star "Conv3D+InstanceNorm+LeakyReLU
+blocks ... as fused Pallas kernels").
+
+Round-1 postmortem (kernels/conv3d.py): the im2col Pallas conv beat XLA
+1.37× isolated but lost end-to-end because every conv paid NDHWC↔(C,W-minor)
+transposes plus three W-shifted HBM copies. This module is the designed fix:
+
+- **(D, H, C, W) layout persists across a whole (Conv→IN→lrelu)×2 block** —
+  the NDHWC transpose happens once at block entry/exit (models/unet3d.py),
+  amortized over both convs.
+- **Single input slab, W-shifts in VMEM**: instead of three W-shifted HBM
+  copies (3× input DMA traffic), each program DMAs ONE (TD+2, TH+2, C, W)
+  slab and builds the kw=0/2 taps with ``pltpu.roll`` + edge masking — the
+  roll is a VPU shuffle, the zero-mask reproduces SAME padding exactly.
+- **InstanceNorm statistics fused into the conv**: per-program Σy and Σy²
+  partials are accumulated from the f32 GEMM registers and written as tiny
+  (Cout,) outputs, so the norm needs NO extra read of the activation. The
+  normalize+LeakyReLU apply runs as XLA elementwise ops in the same layout
+  (bandwidth-bound; XLA fuses them into one pass).
+- **Differentiable**: custom_vjp where dx is this same kernel applied to the
+  cotangent with flipped/swapped weights (fast path), dw is XLA's
+  large-kernel correlation (its forward is DCE'd under jit), and the stats
+  cotangents fold into the y cotangent as gy + gs + 2·y·gq.
+
+Layout rationale (Mosaic tiling): channels ride the sublanes (C multiple of
+16 for bf16 tiles — the wrapper zero-pads channels, which is exact), W rides
+the 128-wide lanes. The im2col tile packs K = 27·C so the MXU contraction
+dimension is full; M = Cout (≤32 at level 0) bounds utilization at 25% of
+the MXU rows — that bound is inherent to the model's channel width.
+
+XLA is the always-correct fallback (models/unet3d.py gates on
+``fused_block_applicable``); parity + grads are tested against
+``reference_conv3x3_dhcw`` in interpret mode on CPU and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Test hook: force the fused path (interpret-mode kernels) on non-TPU
+# backends so CPU tests exercise the real model integration.
+FORCE_INTERPRET = False
+
+
+def _conv_stats_kernel(
+    xp, wt_ref, o_ref, sum_ref, sq_ref, slab, slabR, slabL, col, sem,
+    *, TD, TH, RH, W, C,
+):
+    d_tile = pl.program_id(0)
+    h_tile = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        xp.at[pl.ds(d_tile * TD, TD + 2), pl.ds(h_tile * TH, TH + 2)],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    # W-shifted tap planes in VMEM: roll along lanes + zero the wrapped
+    # column (== SAME zero padding in W). 2D view keeps the roll on a
+    # well-supported (sublane, lane) shape.
+    n_rows = (TD + 2) * (TH + 2) * C
+    # Mosaic's lane rotate is 32-bit only → roll an f32 upcast, downcast on
+    # store (exact: bf16→f32→bf16 round-trips bit-identically).
+    x2 = slab[:].reshape(n_rows, W).astype(jnp.float32)
+    wids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, W), 1)
+    xr = jnp.where(wids == 0, 0.0, pltpu.roll(x2, 1, axis=1))
+    xl = jnp.where(wids == W - 1, 0.0, pltpu.roll(x2, W - 1, axis=1))
+    slabR[:] = xr.reshape(slab.shape).astype(slab.dtype)  # [., w] = x[., w-1]
+    slabL[:] = xl.reshape(slab.shape).astype(slab.dtype)  # [., w] = x[., w+1]
+
+    Cout = o_ref.shape[2]
+    n_h_blocks = TH // RH
+    slabs = (slabR, slab, slabL)  # kw = 0, 1, 2 → x[w + kw - 1]
+
+    def h_body(hb, carry):
+        sums, sqs, d = carry
+        h0 = hb * RH
+        # im2col tile (27·C, RH·W): one (C, W) write per (tap, row).
+        for kd in range(3):
+            for kh in range(3):
+                for kw in range(3):
+                    tap = (kd * 3 + kh) * 3 + kw
+                    for r in range(RH):
+                        col[pl.ds(tap * C, C), pl.ds(r * W, W)] = (
+                            slabs[kw][d + kd, h0 + kh + r]
+                        )
+        acc = jnp.dot(
+            wt_ref[:], col[:], preferred_element_type=jnp.float32
+        )  # (Cout, RH·W) f32
+        yb = acc.astype(o_ref.dtype)
+        o_ref[d, pl.ds(h0, RH)] = (
+            yb.reshape(Cout, RH, W).transpose(1, 0, 2)
+        )
+        # IN stats from the rounded output (matches the XLA fallback, which
+        # computes f32 stats of the bf16 conv output).
+        yf = yb.astype(jnp.float32)
+        sums = sums + jnp.sum(yf, axis=1)[None]
+        sqs = sqs + jnp.sum(yf * yf, axis=1)[None]
+        return sums, sqs, d
+
+    sums = jnp.zeros((1, Cout), jnp.float32)
+    sqs = jnp.zeros((1, Cout), jnp.float32)
+    for d in range(TD):  # static unroll over slab depth
+        sums, sqs, _ = jax.lax.fori_loop(0, n_h_blocks, h_body, (sums, sqs, d))
+    sum_ref[0, 0, 0] = sums[0]
+    sq_ref[0, 0, 0] = sqs[0]
+
+
+def _pick_tiles(D: int, H: int, C: int, W: int, itemsize: int) -> tuple[int, int, int]:
+    """(TD, TH, RH) — largest tile whose VMEM footprint fits comfortably."""
+    for TD, TH in ((4, 16), (2, 8), (2, 4)):
+        if D % TD or H % TH:
+            continue
+        RH = min(8, TH)
+        slab_b = 3 * (TD + 2) * (TH + 2) * C * W * itemsize
+        col_b = 27 * C * RH * W * itemsize
+        if slab_b + col_b <= 10 * 1024 * 1024:
+            return TD, TH, RH
+    raise ValueError(f"no tile config for D={D} H={H} C={C} W={W}")
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_dhcw_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """xp: (D+2, H+2, C, W) — D/H zero-padded by 1, W unpadded (SAME padding
+    in W comes from the in-kernel roll masks). w: (3, 3, 3, C, Cout).
+
+    Returns (y (D, H, Cout, W) in xp.dtype, sums (Cout,) f32, sqs (Cout,) f32)
+    where sums/sqs are Σy and Σy² over (D, H, W) of the rounded output.
+
+    Constraints: C and Cout multiples of 16 (bf16 sublane tiles), W % 128 == 0,
+    and (D, H) divisible by a supported tile config.
+    """
+    Dp, Hp, C, W = xp.shape
+    D, H = Dp - 2, Hp - 2
+    Cout = w.shape[-1]
+    if C % 16 or Cout % 16 or W % 128:
+        raise ValueError(f"need C%16==0, Cout%16==0, W%128==0; got C={C} Cout={Cout} W={W}")
+    TD, TH, RH = _pick_tiles(D, H, C, W, xp.dtype.itemsize)
+
+    wt = w.reshape(27 * C, Cout).T.astype(xp.dtype)
+    kernel = partial(_conv_stats_kernel, TD=TD, TH=TH, RH=RH, W=W, C=C)
+    nD, nH = D // TD, H // TH
+    y, sums, sqs = pl.pallas_call(
+        kernel,
+        grid=(nD, nH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TD, TH, Cout, W), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, Cout), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, Cout), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, H, Cout, W), xp.dtype),
+            jax.ShapeDtypeStruct((nD, nH, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((nD, nH, 1, Cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TD + 2, TH + 2, C, W), xp.dtype),
+            pltpu.VMEM((TD + 2, TH + 2, C, W), xp.dtype),
+            pltpu.VMEM((TD + 2, TH + 2, C, W), xp.dtype),
+            pltpu.VMEM((27 * C, RH * W), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wt)
+    return y, sums.sum(axis=(0, 1, 2)), sqs.sum(axis=(0, 1, 2))
+
+
+def reference_conv3x3_dhcw(xp, w):
+    """XLA oracle with identical contract (same layout, same stats)."""
+    # (D+2, H+2, C, W) → (1, D+2, H+2, W, C); VALID in D/H (pre-padded),
+    # SAME-by-explicit-pad in W.
+    x = jnp.transpose(xp, (0, 1, 3, 2))[None]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+    y = jnp.transpose(y, (0, 1, 3, 2)).astype(xp.dtype)  # (D, H, Cout, W)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=(0, 1, 3)), jnp.sum(yf * yf, axis=(0, 1, 3))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_dhcw(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """Differentiable fused conv+stats in (D, H, C, W) layout (see module
+    docstring). Forward runs the Pallas kernel; backward runs the same
+    kernel on the cotangent (dx) and XLA's correlation (dw)."""
+    return _conv3x3_dhcw_impl(xp, w, interpret=interpret)
+
+
+def _cv_fwd(xp, w, interpret):
+    y, sums, sqs = _conv3x3_dhcw_impl(xp, w, interpret=interpret)
+    return (y, sums, sqs), (xp, w, y)
+
+
+def _cv_bwd(interpret, res, cots):
+    xp, w, y = res
+    gy, gs, gq = cots
+    # Fold the stats cotangents into the output cotangent:
+    # sums = Σy, sqs = Σy² ⇒ dL/dy += gs + 2·y·gq (per channel).
+    g = (
+        gy.astype(jnp.float32)
+        + gs[None, None, :, None]
+        + 2.0 * y.astype(jnp.float32) * gq[None, None, :, None]
+    )
+    # dx: conv of g with spatially flipped, in/out-swapped weights — the
+    # same Pallas kernel. Pad g (its halo), discard dx at xp's pad rows
+    # (the caller's jnp.pad transpose slices them off anyway).
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    gp = jnp.pad(g.astype(xp.dtype), ((1, 1), (1, 1), (0, 0), (0, 0)))
+    dx_core, _, _ = _conv3x3_dhcw_impl(gp, w_flip, interpret=interpret)
+    dxp = jnp.pad(
+        dx_core.astype(xp.dtype), ((1, 1), (1, 1), (0, 0), (0, 0))
+    )
+    # dw via XLA: vjp of the linear reference — its primal forward is dead
+    # code under jit and gets eliminated; what remains is the large-kernel
+    # correlation XLA autodiff would emit anyway.
+    _, vjp_fn = jax.vjp(lambda wv: reference_conv3x3_dhcw(xp, wv)[0], w)
+    (dw,) = vjp_fn(g.astype(xp.dtype))
+    return dxp, dw.astype(w.dtype)
+
+
+conv3x3_dhcw.defvjp(_cv_fwd, _cv_bwd)
+
+
+def fused_block_applicable(ndhwc_shape: tuple[int, ...]) -> bool:
+    """Can the fused (D, H, C, W) path run for this NDHWC activation?
+
+    Channels are padded to 16 internally, so only spatial dims constrain:
+    a supported (TD, TH) tile config must divide (D, H) and W must fill the
+    128-wide lanes. Backend-gated so flag-enabled configs still run (via
+    the XLA path) on CPU test envs; FORCE_INTERPRET lets tests exercise the
+    fused path in interpret mode.
+    """
+    if len(ndhwc_shape) != 5:
+        return False
+    _, D, H, W, _ = ndhwc_shape
+    if W % 128 or D % 2 or H % 8:
+        return False
+    return jax.default_backend() == "tpu" or FORCE_INTERPRET
+
+
+def _ceil16(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+def conv_in_stats_dhcw_batch(x: jnp.ndarray, kernel: jnp.ndarray, interpret=None):
+    """Batched fused conv+stats for the model (models/unet3d.py).
+
+    x: (B, D, H, C, W) in compute dtype; kernel: (3, 3, 3, Cin, Cout) any
+    float dtype (cast to x.dtype). Channels are zero-padded to multiples of
+    16 (exact — zero weight rows/cols contribute nothing); the batch is a
+    static Python loop (B is 1-2 on this pipeline; Pallas-under-vmap is not
+    relied upon).
+
+    Returns (y (B, D, H, Cout, W), mean (B, Cout) f32, sqmean (B, Cout) f32).
+    """
+    if interpret is None:
+        interpret = FORCE_INTERPRET and jax.default_backend() != "tpu"
+    B, D, H, C, W = x.shape
+    Cout = kernel.shape[-1]
+    Cp, Coutp = _ceil16(C), _ceil16(Cout)
+    k = kernel.astype(x.dtype)
+    if Cp != C or Coutp != Cout:
+        k = jnp.pad(k, [(0, 0)] * 3 + [(0, Cp - C), (0, Coutp - Cout)])
+    if Cp != C:
+        x = jnp.pad(x, [(0, 0)] * 3 + [(0, Cp - C), (0, 0)])
+    n = float(D * H * W)
+    ys, means, sqms = [], [], []
+    for b in range(B):
+        xp = jnp.pad(x[b], ((1, 1), (1, 1), (0, 0), (0, 0)))
+        y, s, q = conv3x3_dhcw(xp, k, interpret)
+        ys.append(y[:, :, :Cout])
+        means.append(s[:Cout] / n)
+        sqms.append(q[:Cout] / n)
+    return jnp.stack(ys), jnp.stack(means), jnp.stack(sqms)

@@ -27,21 +27,47 @@ class InstanceNorm(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B, D, H, W, C); stats over spatial dims in f32.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        sq = jnp.mean(jnp.square(xf), axis=(1, 2, 3), keepdims=True)
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        moments: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        channel_axis: int = -1,
+    ) -> jnp.ndarray:
+        """x: (B, ..., C) with channels on ``channel_axis``; stats over all
+        other non-batch dims in f32.
+
+        ``moments`` — optional precomputed per-(sample, channel) f32
+        ``(mean, sq_mean)`` of shape (B, C), e.g. emitted by the fused conv
+        kernel (kernels/fused_block.py) so the activation is not re-read
+        just to compute statistics. Semantics are identical either way.
+        """
+        c = x.shape[channel_axis]
+        # Broadcast shape: (B, 1, ..., C at channel_axis, ..., 1).
+        bshape = [x.shape[0]] + [1] * (x.ndim - 1)
+        bshape[channel_axis if channel_axis >= 0 else x.ndim + channel_axis] = c
+        if moments is None:
+            axes = tuple(
+                a for a in range(1, x.ndim)
+                if a != (channel_axis % x.ndim)
+            )
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes, keepdims=True)
+            sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+        else:
+            xf = x.astype(jnp.float32)
+            mean = moments[0].astype(jnp.float32).reshape(bshape)
+            sq = moments[1].astype(jnp.float32).reshape(bshape)
         if self.axis_name is not None:
             mean = jax.lax.pmean(mean, self.axis_name)
             sq = jax.lax.pmean(sq, self.axis_name)
         var = sq - jnp.square(mean)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
-            c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            y = y * scale.astype(jnp.float32).reshape(bshape[1:]) + bias.astype(
+                jnp.float32
+            ).reshape(bshape[1:])
         return y.astype(self.dtype)
 
 

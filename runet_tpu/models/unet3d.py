@@ -37,16 +37,34 @@ class ConvNormAct(nn.Module):
     use_pallas_conv: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, layout: str = "ndhwc"):
+        """layout="ndhwc": (B, D, H, W, C) via XLA (or the legacy per-conv
+        Pallas kernel). layout="dhcw": (B, D, H, C, W) via the fused
+        layout-persistent Pallas conv+stats kernel (kernels/fused_block.py)
+        — callers (EncoderBlock/DecoderBlock) transpose once per block.
+        Both paths share the same parameter tree (checkpoint-stable)."""
         # The kernel param is owned here (not by nn.Conv) so the XLA and
         # Pallas paths share one checkpoint-stable parameter.
-        cin = x.shape[-1]
+        cin = x.shape[-1] if layout == "ndhwc" else x.shape[-2]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (3, 3, 3, cin, self.features),
             self.param_dtype,
         )
+        if layout == "dhcw":
+            from runet_tpu.kernels.fused_block import conv_in_stats_dhcw_batch
+
+            if self.strides != (1, 1, 1):
+                raise ValueError("fused dhcw path is stride-1 only")
+            y, mean, sqm = conv_in_stats_dhcw_batch(x.astype(self.dtype), kernel)
+            y = InstanceNorm(
+                eps=self.norm_eps,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                axis_name=self.axis_name,
+            )(y, moments=(mean, sqm), channel_axis=-2)
+            return nn.leaky_relu(y, self.negative_slope)
         use_pallas = False
         if self.use_pallas_conv and self.strides == (1, 1, 1):
             from runet_tpu.kernels.conv3d import pallas_conv_applicable
@@ -78,6 +96,18 @@ class ConvNormAct(nn.Module):
         return nn.leaky_relu(x, self.negative_slope)
 
 
+def _fused_pair(cna0, cna1, x):
+    """Run one or two stride-1 ConvNormActs in the layout-persistent fused
+    path: ONE NDHWC→(D,H,C,W) transpose at entry and one back at exit,
+    amortized over the convs between them (the round-1 per-conv-transpose
+    loss, kernels/conv3d.py docstring, is exactly what this avoids)."""
+    x = jnp.swapaxes(x, 3, 4)  # (B, D, H, W, C) → (B, D, H, C, W)
+    if cna0 is not None:
+        x = cna0(x, layout="dhcw")
+    x = cna1(x, layout="dhcw")
+    return jnp.swapaxes(x, 3, 4)
+
+
 class EncoderBlock(nn.Module):
     features: int
     downsample: bool
@@ -88,9 +118,12 @@ class EncoderBlock(nn.Module):
     axis_name: str | None = None
 
     use_pallas_conv: bool = False
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from runet_tpu.kernels.fused_block import fused_block_applicable
+
         stride = (2, 2, 2) if self.downsample else (1, 1, 1)
         kw = dict(
             negative_slope=self.negative_slope,
@@ -100,8 +133,17 @@ class EncoderBlock(nn.Module):
             axis_name=self.axis_name,
             use_pallas_conv=self.use_pallas_conv,
         )
-        x = ConvNormAct(self.features, strides=stride, **kw)(x)
-        x = ConvNormAct(self.features, **kw)(x)
+        cna0 = ConvNormAct(self.features, strides=stride, **kw)
+        cna1 = ConvNormAct(self.features, **kw)
+        if self.downsample:
+            x = cna0(x)  # strided: XLA
+            if self.fused_blocks and fused_block_applicable(x.shape):
+                return _fused_pair(None, cna1, x)
+            return cna1(x)
+        if self.fused_blocks and fused_block_applicable(x.shape):
+            return _fused_pair(cna0, cna1, x)
+        x = cna0(x)
+        x = cna1(x)
         return x
 
 
@@ -123,6 +165,7 @@ class DecoderBlock(nn.Module):
     axis_name: str | None = None
     upsample_mode: str = "pixelshuffle"
     use_pallas_conv: bool = False
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, skip):
@@ -157,8 +200,14 @@ class DecoderBlock(nn.Module):
             axis_name=self.axis_name,
             use_pallas_conv=self.use_pallas_conv,
         )
-        x = ConvNormAct(self.features, **kw)(x)
-        x = ConvNormAct(self.features, **kw)(x)
+        cna0 = ConvNormAct(self.features, **kw)
+        cna1 = ConvNormAct(self.features, **kw)
+        from runet_tpu.kernels.fused_block import fused_block_applicable
+
+        if self.fused_blocks and fused_block_applicable(x.shape):
+            return _fused_pair(cna0, cna1, x)
+        x = cna0(x)
+        x = cna1(x)
         return x
 
 
@@ -194,6 +243,7 @@ class UNet3D(nn.Module):
             param_dtype=param_dtype,
             axis_name=cfg.spatial_axis,
             use_pallas_conv=cfg.use_pallas_conv,
+            fused_blocks=cfg.fused_blocks,
         )
 
         enc_cls, dec_cls = EncoderBlock, DecoderBlock
