@@ -108,6 +108,58 @@ def trained_bundle(preset: str, data_root: Path):
     )
 
 
+def bench_train_step(data_root: Path) -> dict:
+    """BASELINE config 5 training-throughput evidence: fused train step
+    (augment+fwd+bwd+update) at the fine preset geometry on this chip.
+    RTT-amortized (utils/latency.py protocol: enqueue N, one sync, divide).
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from runet_tpu.config import get_config
+    from runet_tpu.data.sampler import sample_batch
+    from runet_tpu.data.dataset import prepare_dataset
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.state import create_train_state, make_train_step
+    from runet_tpu.utils.timing import device_sync
+
+    cfg = get_config("fine_kits")
+    model = UNet3D(cfg.model)
+    params = init_params(model, jax.random.key(0), cfg.train.patch_size)
+    state = create_train_state(model, params, cfg.train)
+    step = make_train_step(model, augment=True)
+
+    cases = prepare_dataset(data_root, cfg.preprocess)
+    rng = np.random.default_rng(0)
+    images, labels = sample_batch(
+        rng, cases, cfg.train.batch_size, cfg.train.patch_size
+    )
+    key = jax.random.key(1)
+
+    def run_steps(n):
+        nonlocal state
+        for i in range(n):
+            im = jax.device_put(images)
+            lb = jax.device_put(labels)
+            state, aux = step(state, im, lb, jax.random.fold_in(key, i))
+        device_sync(aux["loss"])
+        return aux
+
+    run_steps(3)  # warm/compile
+    n = 10
+    t0 = time.monotonic()
+    run_steps(n)
+    dt = (time.monotonic() - t0) / n
+    return {
+        "train_step_ms": round(dt * 1000, 1),
+        "train_patches_per_s": round(cfg.train.batch_size / dt, 3),
+        "train_patch": list(cfg.train.patch_size),
+        "train_batch": cfg.train.batch_size,
+    }
+
+
 def main():
     from runet_tpu.utils.cache import enable_compilation_cache
 
@@ -148,6 +200,8 @@ def main():
 
     quality = evaluate_prediction(pred, seg, fine.num_classes)
 
+    train_stats = bench_train_step(data_root)
+
     baseline_vpm = 6.0  # north star: <10 s/volume on 1x v5e
     print(
         json.dumps(
@@ -161,8 +215,13 @@ def main():
                 "warmup_s": round(warm_s, 1),
                 "device": str(dev),
                 "case_shape": list(CASE_SHAPE),
+                # Phantom-plumbing Dice, NOT a parity claim vs the PyTorch
+                # reference (no real KiTS19 data on this machine): the two
+                # stages are briefly trained on a trivially separable
+                # ellipsoid phantom. See README "Benchmark" caveat.
                 "kidney_dice": round(quality["kidney_composite"], 4),
                 "tumor_dice": round(quality["tumor"], 4),
+                **train_stats,
             }
         )
     )

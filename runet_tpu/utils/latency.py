@@ -28,6 +28,27 @@ def pipelined_ms(fn, args: tuple, n: int = 20, warmup: int = 2) -> float:
     return (time.monotonic() - t0) / n * 1000.0
 
 
+def chained_ms(fn, args: tuple, n: int = 20, warmup: int = 2) -> float:
+    """Per-call latency with the RTT amortized across the whole chain.
+
+    ``pipelined_ms`` forces every output (one ~38 ms tunnel round-trip per
+    call), so it floors at the RTT and cannot resolve sub-RTT kernels.
+    Device execution is in-order per stream, so fetching ONE element of the
+    LAST output forces the entire chain: total = n·compute + 1·RTT. Use this
+    for kernels/ops; use pipelined_ms when per-call host latency (incl. the
+    fetch) is itself the quantity of interest.
+    """
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    if out is not None:
+        _force(out)
+    t0 = time.monotonic()
+    outs = [fn(*args) for _ in range(n)]
+    _force(outs[-1])
+    return (time.monotonic() - t0) / n * 1000.0
+
+
 def _force(out) -> None:
     import jax
 
