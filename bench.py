@@ -121,12 +121,12 @@ def bench_train_step(data_root: Path) -> dict:
     from runet_tpu.config import get_config
     from runet_tpu.data.sampler import sample_batch
     from runet_tpu.data.dataset import prepare_dataset
-    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.models.unet3d import create_train_model, init_params
     from runet_tpu.train.state import create_train_state, make_train_step
     from runet_tpu.utils.timing import device_sync
 
     cfg = get_config("fine_kits")
-    model = UNet3D(cfg.model)
+    model = create_train_model(cfg.model)
     params = init_params(model, jax.random.key(0), cfg.train.patch_size)
     state = create_train_state(model, params, cfg.train)
     step = make_train_step(model, augment=True)

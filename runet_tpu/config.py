@@ -45,6 +45,14 @@ class ModelConfig:
     # shapes fit (level 0 at 128³ patches; more levels on larger volumes);
     # XLA everywhere else. BASELINE north_star "fused Pallas kernels".
     fused_blocks: bool = True
+    # Use fused blocks inside the *training* step too. Default OFF: measured
+    # on v5e at 128³ batch 1, the fused custom_vjp regresses the train step
+    # (491 vs 300 ms/step) — dx re-runs the kernel on the cotangent and dw is
+    # a large-kernel XLA correlation, which together cost more than XLA's
+    # fused conv backward. Fused stays ON for inference (forward 42 vs 62 ms
+    # at level-0 geometry). Opt in for memory-bound regimes: fused+remat
+    # compiles batch-2 at 128³ where plain XLA+remat fails to compile.
+    fused_blocks_train: bool = False
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Mesh axis name for spatial-partition inference (norm moments pmean'd

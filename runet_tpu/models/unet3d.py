@@ -280,6 +280,20 @@ def create_model(cfg: ModelConfig) -> UNet3D:
     return UNet3D(cfg)
 
 
+def create_train_model(cfg: ModelConfig) -> UNet3D:
+    """Model variant for the training step. Shares the exact param tree with
+    ``create_model`` (checkpoint-stable, proven in tests/test_fused_block.py),
+    but drops the fused Pallas blocks unless ``fused_blocks_train`` opts in —
+    the fused custom_vjp loses to XLA's conv backward (measured 491 vs 300
+    ms/step at 128³ batch 1 on v5e; see ModelConfig.fused_blocks_train).
+    Inference/eval paths keep the fused forward, which wins (42 vs 62 ms)."""
+    import dataclasses
+
+    if cfg.fused_blocks and not cfg.fused_blocks_train:
+        cfg = dataclasses.replace(cfg, fused_blocks=False)
+    return UNet3D(cfg)
+
+
 def init_params(model: UNet3D, rng, patch_size: tuple[int, int, int]):
     import jax
 

@@ -19,7 +19,7 @@ from runet_tpu.config import Config
 from runet_tpu.data.dataset import PreparedCase, prepare_dataset
 from runet_tpu.data.pipeline import PatchLoader
 from runet_tpu.data.sampler import sample_batch
-from runet_tpu.models.unet3d import UNet3D, init_params
+from runet_tpu.models.unet3d import UNet3D, create_train_model, init_params
 from runet_tpu.parallel import comm
 from runet_tpu.train.checkpoint import CheckpointManager
 from runet_tpu.train.metrics import MetricsLogger
@@ -130,10 +130,14 @@ def train(
     if batch % n_dev != 0:
         raise ValueError(f"global batch {batch} not divisible by {n_dev} devices")
 
+    # Two views of ONE param tree: the step model (fused Pallas off unless
+    # fused_blocks_train — the fused vjp regresses training, see ModelConfig)
+    # and the full model for eval/full-volume validation (fused forward wins).
     model = UNet3D(cfg.model)
+    step_model = create_train_model(cfg.model)
     rng_key = jax.random.key(cfg.train.seed)
     params = init_params(model, rng_key, cfg.train.patch_size)
-    state = create_train_state(model, params, cfg.train)
+    state = create_train_state(step_model, params, cfg.train)
     state = comm.replicate(mesh, state)
 
     ckpt = CheckpointManager(out_dir / "ckpt", keep=cfg.train.keep_checkpoints)
@@ -145,7 +149,7 @@ def train(
     logger = MetricsLogger(out_dir)
     logger.write_config(cfg.to_json())
 
-    train_step = make_train_step(model, augment=cfg.train.augment)
+    train_step = make_train_step(step_model, augment=cfg.train.augment)
     eval_step = make_eval_step(model, cfg.model.num_classes)
 
     sharding = comm.batch_sharding(mesh, 5)

@@ -148,6 +148,22 @@ def test_unet_fused_matches_xla_forward():
     )
 
 
+def test_create_train_model_gates_fused_to_inference():
+    """Fused Pallas blocks are inference-only by default (measured training
+    regression, ModelConfig.fused_blocks_train); opt-in re-enables them."""
+    from runet_tpu.config import ModelConfig
+    from runet_tpu.models.unet3d import create_train_model
+
+    import dataclasses
+
+    cfg = ModelConfig(num_classes=2, fused_blocks=True)
+    assert create_train_model(cfg).cfg.fused_blocks is False
+    cfg_opt = dataclasses.replace(cfg, fused_blocks_train=True)
+    assert create_train_model(cfg_opt).cfg.fused_blocks is True
+    cfg_off = dataclasses.replace(cfg, fused_blocks=False)
+    assert create_train_model(cfg_off).cfg.fused_blocks is False
+
+
 def test_unet_fused_grads_finite_and_close():
     """Train-step-shaped gradient through the fused model ≈ XLA gradients."""
     from runet_tpu.config import ModelConfig
