@@ -100,6 +100,14 @@ def _iter_cases(data: Path):
         yield rec.case_id, vol, gt
 
 
+def _with_tta(bundle):
+    import dataclasses
+
+    return dataclasses.replace(
+        bundle, infer=dataclasses.replace(bundle.infer, tta=True)
+    )
+
+
 def cmd_predict(args):
     from runet_tpu.infer.cascade import predict_case, predict_volume
     from runet_tpu.io.nifti import save_volume
@@ -108,6 +116,8 @@ def cmd_predict(args):
     coarse = None
     if args.coarse:
         coarse, _ = _load_bundle(Path(args.coarse))
+    if args.tta:
+        fine = _with_tta(fine)
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -128,6 +138,8 @@ def cmd_evaluate(args):
     coarse = None
     if args.coarse:
         coarse, _ = _load_bundle(Path(args.coarse))
+    if args.tta:
+        fine = _with_tta(fine)
 
     rows = []
     for cid, vol, gt in _iter_cases(Path(args.data)):
@@ -170,6 +182,12 @@ def cmd_visualize(args):
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="runet_tpu", description=__doc__)
+    p.add_argument(
+        "--debug",
+        action="store_true",
+        help="sanitizer mode: tracer-leak detection + NaN checking "
+        "(utils/debug.py; slows tracing — not for production runs)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("phantom", help="generate synthetic dataset")
@@ -194,6 +212,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--coarse", default=None, help="coarse run dir (enables cascade)")
     sp.add_argument("--config", default=None, help="preset fallback if run has no config.json")
     sp.add_argument("--out", required=True)
+    sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("evaluate", help="predict + Dice vs ground truth")
@@ -201,6 +220,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fine", required=True)
     sp.add_argument("--coarse", default=None)
     sp.add_argument("--config", default=None)
+    sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("visualize", help="write PNG overlay panels per case")
@@ -213,6 +233,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.debug:
+        from runet_tpu.utils.debug import sanitize
+
+        with sanitize():
+            return args.fn(args)
     args.fn(args)
 
 

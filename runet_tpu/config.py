@@ -118,6 +118,12 @@ class InferConfig:
     # activations is still only ~1 GB of HBM. Windows remain the fallback
     # for volumes beyond the ratio.
     single_pass_ratio: float = 8.0
+    # Mirror-flip test-time augmentation (infer/tta.py): average softmax over
+    # all 2^len(tta_axes) flip variants INSIDE the jitted program (one
+    # dispatch, ~2^k × compute). nnU-Net-lineage quality knob; off by
+    # default — it multiplies forward cost.
+    tta: bool = False
+    tta_axes: tuple[int, ...] = (0, 1, 2)
 
 
 @dataclasses.dataclass(frozen=True)
