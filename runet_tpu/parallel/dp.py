@@ -45,9 +45,11 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
         check_vma=False,
     )
     def sharded_step(state, images, labels):
-        # Same label-range clamp as train/state.py (2-class coarse on
-        # multi-class GT binarizes; OOB gather is NaN on TPU).
-        labels = jnp.minimum(labels, model.cfg.num_classes - 1)
+        # Compact-transfer upcast + label-range clamp, same as train/state.py
+        # (2-class coarse on multi-class GT binarizes; OOB gather NaNs on TPU).
+        if images.dtype != jnp.float32:
+            images = images.astype(jnp.float32)
+        labels = jnp.minimum(labels.astype(jnp.int32), model.cfg.num_classes - 1)
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
         grads = jax.lax.pmean(grads, axes)
         aux = jax.lax.pmean(aux, axes)

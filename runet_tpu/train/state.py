@@ -75,6 +75,13 @@ def make_train_step(model, include_background_dice: bool = False, augment: bool 
     num_classes = model.cfg.num_classes
 
     def train_step(state: TrainState, images, labels, key=None):
+        # Accept compact transfer dtypes (f16 images / uint8 labels halve the
+        # host→device bytes through the ~tunnel-bound PCI path; see
+        # data/pipeline.py) — upcast on device where flops are free.
+        if images.dtype != jnp.float32:
+            images = images.astype(jnp.float32)
+        if labels.dtype != jnp.int32:
+            labels = labels.astype(jnp.int32)
         # Clip labels into the model's class range: the 2-class coarse
         # localizer trains (kidney ∪ tumor) vs background on multi-class
         # ground truth (BASELINE config 1); out-of-range gather indices are
@@ -98,7 +105,9 @@ def make_eval_step(model, num_classes: int):
     from runet_tpu.train.losses import hard_dice_per_class
 
     def eval_step(params, images, labels):
-        labels = jnp.minimum(labels, num_classes - 1)  # see make_train_step
+        if images.dtype != jnp.float32:
+            images = images.astype(jnp.float32)  # compact transfer, see train_step
+        labels = jnp.minimum(labels.astype(jnp.int32), num_classes - 1)
         logits = model.apply({"params": params}, images)
         pred = jnp.argmax(logits, axis=-1)
         return hard_dice_per_class(pred, labels, num_classes)

@@ -113,3 +113,49 @@ def test_remat_same_grads():
     assert abs(outs[0][1] - outs[1][1]) < 1e-6
     for a, b in zip(outs[0][0], outs[1][0]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_compact_transfer_dtypes_match_f32():
+    """f16-image / uint8-label transfer (data/pipeline.py compact_transfer)
+    trains identically to f32/int32 when inputs are f16-representable."""
+    rng = np.random.default_rng(3)
+    # Round-trip through f16 so both paths see bit-identical values.
+    images = rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float16).astype(np.float32)
+    labels = (rng.uniform(size=(1, 8, 8, 8)) < 0.3).astype(np.int32)
+
+    model, state_a = _setup()
+    step = make_train_step(model)
+    state_a, aux_a = step(state_a, jnp.asarray(images), jnp.asarray(labels))
+
+    _, state_b = _setup()
+    state_b, aux_b = step(
+        state_b,
+        jnp.asarray(images.astype(np.float16)),
+        jnp.asarray(labels.astype(np.uint8)),
+    )
+    assert abs(float(aux_a["loss"]) - float(aux_b["loss"])) < 1e-6
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_patch_loader_compact_transfer_dtypes():
+    from runet_tpu.data.phantom import make_phantom
+    from runet_tpu.data.dataset import PreparedCase
+    from runet_tpu.data.pipeline import PatchLoader
+
+    img, seg = make_phantom((24, 24, 16), (1.0, 1.0, 1.0), num_classes=2, seed=0)
+    case = PreparedCase(
+        case_id="c0", image=img.astype(np.float32), labels=seg.astype(np.uint8),
+        native_shape=img.shape, native_spacing=(1.0, 1.0, 1.0),
+        affine=np.eye(4), fg_coords=None,
+    )
+    loader = PatchLoader([case], batch_size=2, patch_size=(8, 8, 8))
+    try:
+        images, labels = next(loader)
+        assert images.dtype == jnp.float16
+        assert labels.dtype == jnp.uint8
+    finally:
+        loader.close()
