@@ -52,3 +52,46 @@ def test_profiling_contexts_noop_safe(tmp_path):
         with annotate("span"):
             x = jnp.ones(8) * 2
     assert float(x.sum()) == 16.0
+
+
+def test_sanitize_catches_tracer_leak_and_restores():
+    import jax
+    import jax.numpy as jnp
+    from runet_tpu.utils.debug import sanitize
+
+    leaked = []
+    prev = jax.config.jax_check_tracer_leaks
+
+    def leaky(x):
+        leaked.append(x)  # tracer escapes the trace
+        return x * 2
+
+    import pytest
+    with sanitize(debug_nans=False):
+        with pytest.raises(Exception, match="[Ll]eak"):
+            jax.jit(leaky)(jnp.ones((2,)))
+    assert jax.config.jax_check_tracer_leaks == prev
+
+
+def test_sanitize_catches_nan():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from runet_tpu.utils.debug import sanitize
+
+    with sanitize(tracer_leaks=False):
+        with pytest.raises(FloatingPointError):
+            jax.jit(lambda x: jnp.log(x))(jnp.zeros((2,)) - 1.0).block_until_ready()
+
+
+def test_audit_donation_flags_donated_buffers():
+    import jax
+    import jax.numpy as jnp
+    from runet_tpu.utils.debug import audit_donation
+
+    f = jax.jit(lambda x: x + 1, donate_argnums=(0,))
+    x = jnp.ones((128, 128))
+    y = f(x)
+    donated, fresh = audit_donation(x, y)
+    assert donated is True
+    assert fresh is False
