@@ -28,8 +28,11 @@ import numpy as np
 
 CASE_SHAPE = (512, 512, 160)
 CASE_SPACING = (0.78125, 0.78125, 3.0)
-TRAIN_STEPS = 80
-TRAIN_PATCH = (96, 96, 96)  # smaller patches: cheaper bench setup, same FLOPs path at infer
+# 120 steps at the preset patch size: the 80-step/96³ "cheap setup" variant
+# costs ~0.1 tumor Dice on the phantom (0.85 vs 0.96) — worth the extra
+# one-time setup minutes for a quality column that reflects the pipeline.
+TRAIN_STEPS = 120
+TRAIN_PATCH = None  # None = preset patch size
 
 
 def make_case(seed=0):
@@ -83,7 +86,8 @@ def trained_bundle(preset: str, data_root: Path):
 
         tr = dataclasses.replace(
             cfg.train, batch_size=1, steps=TRAIN_STEPS, warmup_steps=20,
-            val_every=10**9, ckpt_every=10**9, lr=1e-3, patch_size=TRAIN_PATCH,
+            val_every=10**9, ckpt_every=10**9, lr=1e-3,
+            patch_size=TRAIN_PATCH or cfg.train.patch_size,
         )
         bcfg = dataclasses.replace(cfg, train=tr)
         state, _ = train(
@@ -136,6 +140,10 @@ def bench_train_step(data_root: Path) -> dict:
     images, labels = sample_batch(
         rng, cases, cfg.train.batch_size, cfg.train.patch_size
     )
+    # Production transfer path (data/pipeline.py compact_transfer): f16
+    # images / uint8 labels, upcast inside the jitted step.
+    images = images.astype(np.float16)
+    labels = labels.astype(np.uint8)
     key = jax.random.key(1)
 
     def run_steps(n):
