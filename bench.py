@@ -204,7 +204,20 @@ def main():
         pred = predict_case(coarse, fine, img, CASE_SPACING, fine_cfg.cascade)
     total = time.monotonic() - t0
     sec_per_volume = total / n_iters
-    vpm = 60.0 / sec_per_volume
+
+    # Throughput of record: the pipelined serving path (infer/cascade.py
+    # predict_cases) — host pre/post of case i overlaps device compute of
+    # case i+1. sec_per_volume above stays the single-case LATENCY.
+    from runet_tpu.infer.cascade import predict_cases
+
+    n_pipe = 6
+    t0 = time.monotonic()
+    for _ in predict_cases(
+        coarse, fine, [(img, CASE_SPACING)] * n_pipe, fine_cfg.cascade, workers=2
+    ):
+        pass
+    pipe_spv = (time.monotonic() - t0) / n_pipe
+    vpm = 60.0 / pipe_spv
 
     quality = evaluate_prediction(pred, seg, fine.num_classes)
 
@@ -218,7 +231,10 @@ def main():
                 "value": round(vpm, 3),
                 "unit": "volumes/min",
                 "vs_baseline": round(vpm / baseline_vpm, 3),
+                # Single-case latency (sequential) vs pipelined throughput:
                 "sec_per_volume": round(sec_per_volume, 3),
+                "pipelined_sec_per_volume": round(pipe_spv, 3),
+                "sequential_volumes_per_min": round(60.0 / sec_per_volume, 3),
                 "setup_s": round(setup_s, 1),
                 "warmup_s": round(warm_s, 1),
                 "device": str(dev),

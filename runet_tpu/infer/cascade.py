@@ -350,3 +350,37 @@ def predict_case(
                 native_canvas, native_boxes, max_components=cascade.max_components
             )
     return native_canvas
+
+
+def predict_cases(
+    coarse: ModelBundle,
+    fine: ModelBundle,
+    cases,  # iterable of (image, native_spacing)
+    cascade: CascadeConfig = CascadeConfig(),
+    postprocess: bool = True,
+    workers: int = 2,
+):
+    """Pipelined multi-case cascade (the BASELINE metric is volumes/MINUTE —
+    this is the serving path for it).
+
+    ``predict_case`` alternates host work (strided prep, box extraction,
+    fetch-wait, paste, CC postprocess) with device work (coarse + ROI
+    programs); single-case latency is therefore host-tail + device time.
+    Running ``workers`` cases on a small thread pool overlaps case i's host
+    tail with case i+1's device compute — the device never idles while the
+    host labels components. JAX dispatch is thread-safe and the jitted
+    programs are shared across threads (same shapes → same executables).
+
+    Results are yielded IN ORDER as they complete.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        futures = [
+            pool.submit(
+                predict_case, coarse, fine, img, sp, cascade, postprocess
+            )
+            for img, sp in cases
+        ]
+        for f in futures:
+            yield f.result()

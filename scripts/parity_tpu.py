@@ -1,0 +1,130 @@
+"""Compiled-on-TPU parity evidence for the Pallas kernels (SURVEY.md §4.2:
+"every Pallas kernel vs its pure-XLA reference ... compiled on TPU").
+
+The CPU test suite runs the kernels in interpret mode (tests/conftest.py
+forces the CPU backend); this script is the on-hardware half: it runs the
+fused kernels COMPILED on the real chip against their XLA references and
+writes ``PARITY_TPU.json`` at the repo root so the claim is reproducible
+from a checked-in artifact.
+
+Usage (repo root, TPU visible):  python scripts/parity_tpu.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    from runet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend is {jax.default_backend()!r}, need tpu")
+        return 1
+
+    from runet_tpu.config import ModelConfig
+    from runet_tpu.kernels.fused_block import (
+        conv3x3_dhcw,
+        reference_conv3x3_dhcw,
+    )
+    from runet_tpu.models.unet3d import UNet3D, init_params
+
+    results: dict = {"device": str(jax.devices()[0]), "checks": {}}
+    rng = np.random.default_rng(0)
+
+    # 1. Fused conv+IN-stats kernel vs XLA reference at level-0 geometry.
+    D, H, C, Cout, W = 16, 32, 32, 32, 128
+    xp = np.zeros((D + 2, H + 2, C, W), np.float32)
+    xp[1:-1, 1:-1] = rng.normal(size=(D, H, C, W))
+    w = (rng.normal(size=(3, 3, 3, C, Cout)) * 0.1).astype(np.float32)
+    y, s, q = conv3x3_dhcw(jnp.asarray(xp, jnp.bfloat16), jnp.asarray(w), False)
+    yr, sr, qr = reference_conv3x3_dhcw(jnp.asarray(xp, jnp.bfloat16), jnp.asarray(w))
+    y_err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - yr.astype(jnp.float32))))
+    s_err = float(jnp.max(jnp.abs(s - sr) / (jnp.abs(sr) + 1.0)))
+    results["checks"]["conv3x3_dhcw_bf16"] = {
+        "geometry": [D, H, C, Cout, W],
+        "max_abs_y_err": y_err,
+        "max_rel_sum_err": s_err,
+        "pass": bool(y_err < 0.125 and s_err < 1e-2),  # bf16 ulp-scale
+    }
+
+    # 2. Model-level: fused blocks ON vs OFF, same params, compiled on TPU.
+    import dataclasses
+
+    cfg = ModelConfig(num_classes=3, base_features=32, num_levels=4)
+    model_f = UNet3D(cfg)
+    model_x = UNet3D(dataclasses.replace(cfg, fused_blocks=False))
+    params = init_params(model_x, jax.random.key(0), (64, 64, 128))
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 128, 1)).astype(np.float32))
+    lf = jax.jit(lambda p, v: model_f.apply({"params": p}, v))(params, x)
+    lx = jax.jit(lambda p, v: model_x.apply({"params": p}, v))(params, x)
+    lf, lx = np.asarray(lf), np.asarray(lx)
+    agree = float((lf.argmax(-1) == lx.argmax(-1)).mean())
+    results["checks"]["unet_fused_vs_xla_forward"] = {
+        "input": [1, 64, 64, 128, 1],
+        "max_abs_logit_diff": float(np.abs(lf - lx).max()),
+        "argmax_agreement": agree,
+        "pass": bool(agree > 0.985),  # bf16 rounding flips boundary voxels only
+    }
+
+    # 3. Gradient flow through the fused custom_vjp, compiled on TPU.
+    # Criterion: the fused-bf16 gradients must sit within the same error
+    # band of an f32 ORACLE as plain XLA-bf16 gradients do — i.e. the custom
+    # vjp adds no error beyond bf16 itself. (Directly diffing the two bf16
+    # paths conflates their independent rounding noise.)
+    model_o = UNet3D(
+        dataclasses.replace(cfg, fused_blocks=False, compute_dtype="float32")
+    )
+
+    def loss(model):
+        def f(p):
+            return jnp.mean(model.apply({"params": p}, x).astype(jnp.float32) ** 2)
+
+        return f
+
+    gf = jax.jit(jax.grad(loss(model_f)))(params)
+    gx = jax.jit(jax.grad(loss(model_x)))(params)
+    go = jax.jit(jax.grad(loss(model_o)))(params)
+    finite = True
+    fused_err, xla_err = [], []
+    for a, b, o in zip(
+        jax.tree_util.tree_leaves(gf),
+        jax.tree_util.tree_leaves(gx),
+        jax.tree_util.tree_leaves(go),
+    ):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        o = np.asarray(o, np.float64)
+        finite &= bool(np.isfinite(a).all())
+        denom = np.abs(o).max() + 1e-8
+        fused_err.append(float(np.abs(a - o).max() / denom))
+        xla_err.append(float(np.abs(b - o).max() / denom))
+    results["checks"]["unet_fused_vjp_grads"] = {
+        "all_finite": finite,
+        "max_rel_err_vs_f32_oracle": {
+            "fused_bf16": max(fused_err),
+            "xla_bf16": max(xla_err),
+        },
+        # Fused may not be more than 2x as far from the oracle as XLA-bf16.
+        "pass": bool(finite and max(fused_err) <= 2.0 * max(xla_err) + 1e-3),
+    }
+
+    results["pass"] = all(c["pass"] for c in results["checks"].values())
+    out = REPO / "PARITY_TPU.json"
+    out.write_text(json.dumps(results, indent=2) + "\n")
+    print(json.dumps(results, indent=2))
+    return 0 if results["pass"] else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,3 +121,31 @@ def test_evaluate_cases_summary():
     assert out["summary"]["volumes_per_min"] > 0
     assert out["summary"]["dice_fg_mean"] > 0.9
     assert len(out["cases"]) == 1
+
+
+def test_predict_cases_pipelined_matches_sequential():
+    """Thread-pooled predict_cases == per-case predict_case, in order."""
+    from runet_tpu.infer.cascade import predict_cases
+
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    cascade_cfg = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+
+    cases = []
+    for seed in (0, 1, 2):
+        _, seg = make_phantom((48, 48, 32), (2.0, 2.0, 2.5), num_classes=3, seed=seed)
+        cases.append((seg.astype(np.float32), (1.0, 1.0, 1.5)))
+
+    seq = [predict_case(coarse, fine, img, sp, cascade_cfg) for img, sp in cases]
+    pipe = list(predict_cases(coarse, fine, cases, cascade_cfg, workers=2))
+    assert len(pipe) == 3
+    for a, b in zip(seq, pipe):
+        np.testing.assert_array_equal(a, b)
