@@ -108,8 +108,28 @@ def _with_tta(bundle):
     )
 
 
+def _pipelined_cascade(coarse, fine, case_iter, cascade_cfg, workers=2):
+    """(cid, vol, gt, pred) stream via the pipelined serving path — host
+    pre/post of one case overlaps device compute of the next
+    (infer/cascade.py predict_cases); holds ≤ workers+1 volumes in RAM."""
+    from collections import deque
+
+    from runet_tpu.infer.cascade import predict_cases
+
+    meta: deque = deque()
+
+    def gen():
+        for cid, vol, gt in case_iter:
+            meta.append((cid, vol, gt))
+            yield vol.data, vol.spacing
+
+    for pred in predict_cases(coarse, fine, gen(), cascade_cfg, workers=workers):
+        cid, vol, gt = meta.popleft()
+        yield cid, vol, gt, pred
+
+
 def cmd_predict(args):
-    from runet_tpu.infer.cascade import predict_case, predict_volume
+    from runet_tpu.infer.cascade import predict_volume
     from runet_tpu.io.nifti import save_volume
 
     fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
@@ -121,18 +141,24 @@ def cmd_predict(args):
 
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
-    for cid, vol, _gt in _iter_cases(Path(args.data)):
-        if coarse is not None:
-            pred = predict_case(coarse, fine, vol.data, vol.spacing, fine_cfg.cascade)
-        else:
-            pred = predict_volume(fine, vol.data, vol.spacing)
+
+    def emit(cid, vol, pred):
         save_volume(out_dir / f"{cid}.nii.gz", pred, vol.spacing, vol.affine)
         print(f"{cid}: wrote {out_dir / f'{cid}.nii.gz'}")
+
+    if coarse is not None:
+        for cid, vol, _gt, pred in _pipelined_cascade(
+            coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade
+        ):
+            emit(cid, vol, pred)
+    else:
+        for cid, vol, _gt in _iter_cases(Path(args.data)):
+            emit(cid, vol, predict_volume(fine, vol.data, vol.spacing))
 
 
 def cmd_evaluate(args):
     from runet_tpu.eval.evaluate import evaluate_prediction
-    from runet_tpu.infer.cascade import predict_case, predict_volume
+    from runet_tpu.infer.cascade import predict_volume
 
     fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
     coarse = None
@@ -141,15 +167,20 @@ def cmd_evaluate(args):
     if args.tta:
         fine = _with_tta(fine)
 
+    def results():
+        if coarse is not None:
+            yield from _pipelined_cascade(
+                coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade
+            )
+        else:
+            for cid, vol, gt in _iter_cases(Path(args.data)):
+                yield cid, vol, gt, predict_volume(fine, vol.data, vol.spacing)
+
     rows = []
-    for cid, vol, gt in _iter_cases(Path(args.data)):
+    for cid, _vol, gt, pred in results():
         if gt is None:
             print(f"{cid}: no ground truth, skipping", file=sys.stderr)
             continue
-        if coarse is not None:
-            pred = predict_case(coarse, fine, vol.data, vol.spacing, fine_cfg.cascade)
-        else:
-            pred = predict_volume(fine, vol.data, vol.spacing)
         row = evaluate_prediction(pred, np.asarray(gt), fine.num_classes)
         row["case_id"] = cid
         rows.append(row)

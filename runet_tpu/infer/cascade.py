@@ -371,16 +371,22 @@ def predict_cases(
     host labels components. JAX dispatch is thread-safe and the jitted
     programs are shared across threads (same shapes → same executables).
 
-    Results are yielded IN ORDER as they complete.
+    Results are yielded IN ORDER as they complete. ``cases`` may be a lazy
+    iterator (e.g. streaming NIfTI loads): at most ``workers + 1`` cases are
+    in flight, so a 200-case sweep never holds every volume in host RAM.
     """
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    it = iter(cases)
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        futures = [
-            pool.submit(
-                predict_case, coarse, fine, img, sp, cascade, postprocess
+        inflight: deque = deque()
+        for args in it:
+            img, sp = args
+            inflight.append(
+                pool.submit(predict_case, coarse, fine, img, sp, cascade, postprocess)
             )
-            for img, sp in cases
-        ]
-        for f in futures:
-            yield f.result()
+            if len(inflight) > workers:
+                yield inflight.popleft().result()
+        while inflight:
+            yield inflight.popleft().result()
