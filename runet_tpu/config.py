@@ -134,9 +134,12 @@ class CascadeConfig:
     # is ~30-60 s on a 1-core host) at ~10-20% padded-voxel overhead.
     roi_bucket: int = 64
     # Fixed canonical coarse-grid shape: every case compiles the SAME coarse
-    # program (512 mm abdominal FOV at 3.2 mm iso is <=160 voxels/axis).
+    # program (512 mm abdominal FOV at 4 mm iso is <=128 voxels/axis).
+    # 128 matters doubly: half the voxels of the old 160³/3.2 mm grid AND
+    # W=128 fills the lane dim so the fused Pallas blocks fire (W%128==0,
+    # kernels/fused_block.py) — measured coarse stage 0.30 s → ~0.12 s.
     # Falls back to 16-bucketed true shape if a case exceeds it.
-    coarse_canonical: tuple[int, int, int] = (160, 160, 160)
+    coarse_canonical: tuple[int, int, int] = (128, 128, 128)
     max_components: int = 2  # keep <=2 largest kidney CCs
     # Hard cap on ROI physical extent per axis: a kidney+tumor fits well
     # inside 192 mm; this bounds fine-stage cost even if the coarse mask
@@ -189,7 +192,10 @@ def _preset_coarse() -> Config:
     return Config(
         name="coarse",
         model=ModelConfig(num_classes=2, base_features=24, num_levels=4, use_pallas_conv=False),
-        preprocess=PreprocessConfig(spacing=(3.2, 3.2, 3.2)),
+        # 4 mm iso: localization tolerates coarse voxels (boxes get a 16 mm
+        # margin downstream), and the 512 mm FOV then fits the 128³ canonical
+        # grid where the fused Pallas blocks apply (CascadeConfig).
+        preprocess=PreprocessConfig(spacing=(4.0, 4.0, 4.0)),
         train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5,
                           batch_size=1, grad_accum=2),
         infer=InferConfig(patch_size=(128, 128, 128), overlap=0.5),
