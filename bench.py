@@ -28,10 +28,12 @@ import numpy as np
 
 CASE_SHAPE = (512, 512, 160)
 CASE_SPACING = (0.78125, 0.78125, 3.0)
-# 120 steps at the preset patch size: the 80-step/96³ "cheap setup" variant
-# costs ~0.1 tumor Dice on the phantom (0.85 vs 0.96) — worth the extra
-# one-time setup minutes for a quality column that reflects the pipeline.
-TRAIN_STEPS = 120
+# 240 steps at the preset patch size: shorter setups leave the 2-case
+# phantom model fragile (120 steps: tumor Dice 0.84-0.92 swinging with ROI
+# padding via InstanceNorm stats; 240 steps: 0.97 across paddings) — worth
+# the one-time setup minutes for a quality column that reflects the
+# pipeline, and the params are cached in /tmp across runs.
+TRAIN_STEPS = 240
 TRAIN_PATCH = None  # None = preset patch size
 
 

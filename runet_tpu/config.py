@@ -129,10 +129,15 @@ class InferConfig:
 @dataclasses.dataclass(frozen=True)
 class CascadeConfig:
     roi_margin_mm: float = 16.0  # margin around coarse kidney bbox
-    # ROI dims rounded up to multiples of this: coarser buckets mean fewer
-    # distinct jitted fine-stage shapes across a dataset (each fresh compile
-    # is ~30-60 s on a 1-core host) at ~10-20% padded-voxel overhead.
-    roi_bucket: int = 64
+    # ROI dims rounded up to multiples of this (x/y axes): coarser buckets
+    # mean fewer distinct jitted fine-stage shapes across a dataset (each
+    # fresh compile is ~30-60 s) at padded-voxel overhead. 32 measured best:
+    # vs 64 it cut ~17% of padded ROI voxels on KiTS-sized kidneys.
+    roi_bucket: int = 32
+    # Last (lane) axis bucket: 128 keeps W%128==0 so the fused Pallas blocks
+    # stay applicable — a 32-bucketed z (e.g. 240) would disable them and
+    # lose more to the slower per-voxel path than the padding costs.
+    roi_bucket_z: int = 128
     # Fixed canonical coarse-grid shape: every case compiles the SAME coarse
     # program (512 mm abdominal FOV at 4 mm iso is <=128 voxels/axis).
     # 128 matters doubly: half the voxels of the old 160³/3.2 mm grid AND

@@ -91,9 +91,35 @@ def _predict_stage(bundle: ModelBundle, volume):
     )
 
 
-def _bucket_up(size: np.ndarray, bucket: int) -> tuple[int, int, int]:
-    """Round dims up to multiples of ``bucket`` (static-shape recompile guard)."""
-    return tuple(int(-(-int(s) // bucket) * bucket) for s in size)
+# Measured per-voxel speed ratio of the XLA conv path vs the fused Pallas
+# blocks at level-0 geometry (62 vs 42 ms at 128³) — used to decide whether
+# padding z up to a lane multiple (fused stays ON) beats tighter padding
+# (fused OFF for that shape).
+_XLA_OVER_FUSED = 1.45
+
+
+def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tuple[int, int, int]:
+    """Round dims up to bucket multiples (static-shape recompile guard).
+
+    The last (lane) axis gets a cost-based choice when ``bucket_z`` is set:
+    pad z to a multiple of ``bucket_z`` (=128 → W%128==0 keeps the fused
+    Pallas blocks applicable, worth ~1.45× per voxel) unless the tighter
+    ``bucket`` rounding wins even at the slower per-voxel rate.
+    """
+    x, y, z = (int(s) for s in size)
+    up = lambda s, b: -(-s // b) * b
+    if bucket_z is None or bucket_z <= bucket:
+        zb = up(z, bucket)
+    else:
+        z_tight = up(z, bucket)
+        z_lane = up(z, bucket_z)
+        fused_ok = z_lane % 128 == 0
+        zb = (
+            z_lane
+            if fused_ok and z_lane <= z_tight * _XLA_OVER_FUSED
+            else z_tight
+        )
+    return (up(x, bucket), up(y, bucket), zb)
 
 
 @partial(
@@ -280,7 +306,10 @@ def predict_case(
         # shape: sampling positions clamp at the input edge, which IS
         # edge-padding — no host pad round-trip, few distinct jit shapes.
         fine_shape = output_shape_for_spacing(crop.shape, native_spacing, tuple(f_sp))
-        padded_shape = _bucket_up(np.asarray(fine_shape), cascade.roi_bucket)
+        padded_shape = _bucket_up(
+            np.asarray(fine_shape), cascade.roi_bucket,
+            getattr(cascade, "roi_bucket_z", None),
+        )
         scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
         scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
 

@@ -149,3 +149,18 @@ def test_predict_cases_pipelined_matches_sequential():
     assert len(pipe) == 3
     for a, b in zip(seq, pipe):
         np.testing.assert_array_equal(a, b)
+
+
+def test_bucket_up_lane_axis_cost_rule():
+    """z pads to a 128-lane multiple only when that beats the tighter bucket
+    at the measured XLA/fused per-voxel ratio (infer/cascade.py)."""
+    from runet_tpu.infer.cascade import _bucket_up
+
+    assert _bucket_up(np.array([167, 151, 240]), 32, 128) == (192, 160, 256)
+    assert _bucket_up(np.array([167, 151, 75]), 32, 128) == (192, 160, 128)
+    # 160-tight loses less than padding to 256 at 1.45x per-voxel.
+    assert _bucket_up(np.array([167, 151, 130]), 32, 128) == (192, 160, 160)
+    # Tiny volumes never inflate to the lane multiple.
+    assert _bucket_up(np.array([40, 40, 30]), 16, 128) == (48, 48, 32)
+    # No bucket_z: plain uniform bucketing.
+    assert _bucket_up(np.array([167, 151, 240]), 64) == (192, 192, 256)
