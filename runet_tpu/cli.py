@@ -167,20 +167,26 @@ def cmd_evaluate(args):
     if args.tta:
         fine = _with_tta(fine)
 
+    def labeled_cases():
+        # Skip BEFORE predicting: unlabeled cases (e.g. a test split) must
+        # not burn a full cascade each just to be discarded.
+        for cid, vol, gt in _iter_cases(Path(args.data)):
+            if gt is None:
+                print(f"{cid}: no ground truth, skipping", file=sys.stderr)
+                continue
+            yield cid, vol, gt
+
     def results():
         if coarse is not None:
             yield from _pipelined_cascade(
-                coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade
+                coarse, fine, labeled_cases(), fine_cfg.cascade
             )
         else:
-            for cid, vol, gt in _iter_cases(Path(args.data)):
+            for cid, vol, gt in labeled_cases():
                 yield cid, vol, gt, predict_volume(fine, vol.data, vol.spacing)
 
     rows = []
     for cid, _vol, gt, pred in results():
-        if gt is None:
-            print(f"{cid}: no ground truth, skipping", file=sys.stderr)
-            continue
         row = evaluate_prediction(pred, np.asarray(gt), fine.num_classes)
         row["case_id"] = cid
         rows.append(row)

@@ -281,6 +281,16 @@ def predict_case(
         )
 
     native_canvas = np.zeros(image.shape, np.uint8)
+    # The lane-axis bucket rule pads z for the fused Pallas path's W%128
+    # gate — pointless off-TPU, where it would pay the padded voxels at the
+    # slow rate with no fused path to buy (kernels/fused_block.py gate).
+    from runet_tpu.kernels import fused_block as _fb
+
+    lane_bucket = (
+        getattr(cascade, "roi_bucket_z", None)
+        if (jax.default_backend() == "tpu" or _fb.FORCE_INTERPRET)
+        else None
+    )
     margin_vox = np.ceil(cascade.roi_margin_mm / n_sp).astype(int)
     native_boxes: list[tuple[np.ndarray, np.ndarray]] = []
     roi_results: list[tuple[np.ndarray, np.ndarray, jnp.ndarray]] = []
@@ -307,8 +317,7 @@ def predict_case(
         # edge-padding — no host pad round-trip, few distinct jit shapes.
         fine_shape = output_shape_for_spacing(crop.shape, native_spacing, tuple(f_sp))
         padded_shape = _bucket_up(
-            np.asarray(fine_shape), cascade.roi_bucket,
-            getattr(cascade, "roi_bucket_z", None),
+            np.asarray(fine_shape), cascade.roi_bucket, lane_bucket
         )
         scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
         scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))

@@ -33,7 +33,7 @@ def gaussian_importance_map(
     return out.astype(dtype)
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=4)
 def gaussian_importance_map_device(
     patch_size: tuple[int, int, int],
     sigma_scale: float = 0.125,
@@ -41,8 +41,10 @@ def gaussian_importance_map_device(
     """Device-resident importance map, built ON device from three 1-D
     factors (≈1 KB host→device instead of the full 3-D map — a super-window
     map is tens of MB, and the PJRT tunnel made per-call uploads the
-    dominant cost of the windowed fallback; measured in round 2). Cached
-    per (shape, sigma) for the process lifetime."""
+    dominant cost of the windowed fallback; measured in round 2). Cache is
+    deliberately SMALL: each entry pins an f32 map in HBM (a super-window
+    map at the 8×128³ budget is ~67 MB; 32 entries would pin ~2 GB) and a
+    sweep only alternates between a couple of window shapes."""
     import jax.numpy as jnp
 
     axes = []

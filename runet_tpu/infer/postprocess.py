@@ -71,7 +71,10 @@ def _merge_overlapping_boxes(
         out: list[tuple[np.ndarray, np.ndarray]] = []
         for lo, hi in boxes:
             for i, (olo, ohi) in enumerate(out):
-                if np.all(lo < ohi) and np.all(olo < hi):  # AABB intersection
+                # <= : merge exactly face-adjacent boxes too — a component
+                # crossing a shared face would otherwise be labeled as two
+                # fragments and the smaller could lose the top-k ranking.
+                if np.all(lo <= ohi) and np.all(olo <= hi):
                     out[i] = (np.minimum(lo, olo), np.maximum(hi, ohi))
                     merged = True
                     break

@@ -49,9 +49,14 @@ def make_start_table(
     patch_size: tuple[int, int, int],
     overlap: float,
     window_batch: int = 1,
+    strides: list[int] | None = None,
 ) -> np.ndarray:
-    """(N, 3) int32 window origins, N padded to a multiple of window_batch."""
-    strides = [max(1, int(round(p * (1.0 - overlap)))) for p in patch_size]
+    """(N, 3) int32 window origins, N padded to a multiple of window_batch
+    (duplicated trailing windows are harmless — they scale accumulator and
+    normalizer equally). ``strides`` overrides the overlap-derived strides
+    (super-window path: absolute overlap in patch voxels)."""
+    if strides is None:
+        strides = [max(1, int(round(p * (1.0 - overlap)))) for p in patch_size]
     axes = [
         compute_window_starts(s, p, st)
         for s, p, st in zip(shape, patch_size, strides)
@@ -256,19 +261,9 @@ def sliding_window_predict(
             max(1, w - int(round(p * overlap)))
             for w, p in zip(win, patch_size)
         ]
-        axes = [
-            compute_window_starts(s, w, st)
-            for s, w, st in zip(padded_shape, win, strides)
-        ]
-        starts = np.array(
-            [(a, b, c) for a in axes[0] for b in axes[1] for c in axes[2]],
-            dtype=np.int32,
+        starts = make_start_table(
+            padded_shape, win, overlap, window_batch, strides=strides
         )
-        rem = len(starts) % window_batch
-        if rem:
-            starts = np.concatenate(
-                [starts, np.repeat(starts[-1:], window_batch - rem, 0)]
-            )
     if use_gaussian:
         gauss = gaussian_importance_map_device(win, sigma_scale)
     else:

@@ -116,15 +116,21 @@ def _conv_stats_kernel(
 
 
 def _pick_tiles(D: int, H: int, C: int, W: int, itemsize: int) -> tuple[int, int, int]:
-    """(TD, TH, RH) — largest tile whose VMEM footprint fits comfortably."""
-    for TD, TH in ((4, 16), (2, 8), (2, 4)):
+    """(TD, TH, RH) — largest tile whose VMEM footprint fits comfortably.
+
+    RH shrinks before the tile does: the col buffer (27·C·RH·W) dominates at
+    large C·W, and a smaller RH only adds fori iterations, not DMA traffic.
+    """
+    for TD, TH in ((4, 16), (2, 8), (2, 4), (1, 2), (1, 1)):
         if D % TD or H % TH:
             continue
-        RH = min(8, TH)
         slab_b = 3 * (TD + 2) * (TH + 2) * C * W * itemsize
-        col_b = 27 * C * RH * W * itemsize
-        if slab_b + col_b <= 10 * 1024 * 1024:
-            return TD, TH, RH
+        for RH in (min(8, TH), 4, 2, 1):
+            if RH > TH or TH % RH:
+                continue
+            col_b = 27 * C * RH * W * itemsize
+            if slab_b + col_b <= 10 * 1024 * 1024:
+                return TD, TH, RH
     raise ValueError(f"no tile config for D={D} H={H} C={C} W={W}")
 
 
@@ -244,21 +250,32 @@ def _cv_bwd(interpret, res, cots):
 conv3x3_dhcw.defvjp(_cv_fwd, _cv_bwd)
 
 
-def fused_block_applicable(ndhwc_shape: tuple[int, ...]) -> bool:
+def fused_block_applicable(
+    ndhwc_shape: tuple[int, ...], features: int | None = None
+) -> bool:
     """Can the fused (D, H, C, W) path run for this NDHWC activation?
 
-    Channels are padded to 16 internally, so only spatial dims constrain:
-    a supported (TD, TH) tile config must divide (D, H) and W must fill the
-    128-wide lanes. Backend-gated so flag-enabled configs still run (via
-    the XLA path) on CPU test envs; FORCE_INTERPRET lets tests exercise the
-    fused path in interpret mode.
+    Channels are padded to 16 internally; beyond the W%128 / D / H gates the
+    kernel's VMEM tiling must be feasible (``_pick_tiles``) for BOTH convs of
+    the block — the first sees C=shape[-1], the second C=``features`` — so a
+    level-0 decoder at e.g. (160, 192, C=64, W=512) correctly falls back to
+    XLA instead of raising at trace time. Backend-gated so flag-enabled
+    configs still run (via the XLA path) on CPU test envs; FORCE_INTERPRET
+    lets tests exercise the fused path in interpret mode.
     """
     if len(ndhwc_shape) != 5:
         return False
-    _, D, H, W, _ = ndhwc_shape
+    _, D, H, W, C = ndhwc_shape
     if W % 128 or D % 2 or H % 8:
         return False
-    return jax.default_backend() == "tpu" or FORCE_INTERPRET
+    if not (jax.default_backend() == "tpu" or FORCE_INTERPRET):
+        return False
+    for c in {C, features if features is not None else C}:
+        try:
+            _pick_tiles(D, H, _ceil16(int(c)), W, 2)  # bf16 itemsize
+        except ValueError:
+            return False
+    return True
 
 
 def _ceil16(n: int) -> int:

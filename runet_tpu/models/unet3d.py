@@ -137,10 +137,10 @@ class EncoderBlock(nn.Module):
         cna1 = ConvNormAct(self.features, **kw)
         if self.downsample:
             x = cna0(x)  # strided: XLA
-            if self.fused_blocks and fused_block_applicable(x.shape):
+            if self.fused_blocks and fused_block_applicable(x.shape, self.features):
                 return _fused_pair(None, cna1, x)
             return cna1(x)
-        if self.fused_blocks and fused_block_applicable(x.shape):
+        if self.fused_blocks and fused_block_applicable(x.shape, self.features):
             return _fused_pair(cna0, cna1, x)
         x = cna0(x)
         x = cna1(x)
@@ -204,7 +204,7 @@ class DecoderBlock(nn.Module):
         cna1 = ConvNormAct(self.features, **kw)
         from runet_tpu.kernels.fused_block import fused_block_applicable
 
-        if self.fused_blocks and fused_block_applicable(x.shape):
+        if self.fused_blocks and fused_block_applicable(x.shape, self.features):
             return _fused_pair(cna0, cna1, x)
         x = cna0(x)
         x = cna1(x)

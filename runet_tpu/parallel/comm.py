@@ -49,10 +49,17 @@ def init_distributed(
     None, matching jax.distributed semantics.
     """
     global _distributed_initialized
-    if _distributed_initialized or jax.process_count() > 1:
-        _distributed_initialized = True
+    if _distributed_initialized:
         return True
-    if coordinator_address is None and num_processes is None:
+    # CRITICAL: decide WITHOUT touching jax.process_count()/jax.devices() —
+    # any such call initializes the XLA backend, after which
+    # jax.distributed.initialize() raises (same pre-backend-init pitfall as
+    # __graft_entry__._pin_cpu_platform). Single-process is detected from
+    # the absence of explicit args AND of the standard env vars.
+    import os
+
+    env_coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None and num_processes is None and env_coord is None:
         # Nothing to coordinate with: explicit single-process run.
         return False
     jax.distributed.initialize(
@@ -105,6 +112,13 @@ def make_hybrid_mesh(
         n_ici = n // n_dcn
     if n_dcn * n_ici != n:
         raise ValueError(f"mesh ({n_dcn}, {n_ici}) != {n} devices")
+    # jax.devices() is sorted by device id, which is NOT guaranteed to group
+    # a host's local devices contiguously; sort by (process_index, id) so
+    # each ici row really is one host's slice and only the dcn axis crosses
+    # the data-center network.
+    devices = sorted(
+        devices, key=lambda d: (getattr(d, "process_index", 0), d.id)
+    )
     dev_array = np.asarray(devices).reshape(n_dcn, n_ici)
     return Mesh(dev_array, (DCN_AXIS, ICI_AXIS))
 

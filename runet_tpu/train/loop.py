@@ -106,6 +106,14 @@ def train(
     """Train a model per config; returns (state, last_metrics)."""
     out_dir = Path(out_dir)
     steps = max_steps if max_steps is not None else cfg.train.steps
+    if cfg.train.val_full_every > 0 and cfg.train.val_full_every % cfg.train.val_every:
+        # Full validation only triggers inside the val_every branch; a
+        # non-multiple would silently run at LCM cadence (possibly never)
+        # and keep-best selection would starve.
+        raise ValueError(
+            f"val_full_every={cfg.train.val_full_every} must be a multiple "
+            f"of val_every={cfg.train.val_every}"
+        )
 
     if cases is None:
         if data_root is None:

@@ -193,3 +193,33 @@ def test_unet_fused_grads_finite_and_close():
     for a, b in zip(jax.tree_util.tree_leaves(gx), jax.tree_util.tree_leaves(gf)):
         assert np.isfinite(np.asarray(b)).all()
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-3)
+
+
+def test_applicability_checks_vmem_feasibility():
+    """Shapes whose tiling can't fit VMEM must fall back to XLA, not raise
+    at trace time (level-0 decoder at big W, e.g. (160,192,C=64,W=512))."""
+    fb.FORCE_INTERPRET = True
+    try:
+        # C=64 at W=512: slab+col exceed the 10MB bound for every tile
+        # config only if RH fallback also fails; assert consistency instead:
+        # applicable implies _pick_tiles succeeds.
+        for shape, feats in (
+            ((1, 160, 192, 512, 64), 64),
+            ((1, 4, 8, 128, 16), 16),
+            ((1, 128, 128, 1024, 32), 32),
+        ):
+            ok = fb.fused_block_applicable(shape, feats)
+            if ok:
+                _, D, H, W, C = shape
+                fb._pick_tiles(D, H, fb._ceil16(max(C, feats)), W, 2)
+    finally:
+        fb.FORCE_INTERPRET = False
+
+
+def test_pick_tiles_rh_fallback_extends_feasibility():
+    """Large C*W geometries fit via a smaller RH instead of raising."""
+    TD, TH, RH = fb._pick_tiles(160, 192, 64, 512, 2)
+    assert 160 % TD == 0 and 192 % TH == 0 and TH % RH == 0
+    slab = 3 * (TD + 2) * (TH + 2) * 64 * 512 * 2
+    col = 27 * 64 * RH * 512 * 2
+    assert slab + col <= 10 * 1024 * 1024

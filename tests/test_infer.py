@@ -216,3 +216,19 @@ def test_component_bounding_boxes():
     lo, hi = boxes[0]  # largest first
     np.testing.assert_array_equal(lo, [12, 12, 12])
     np.testing.assert_array_equal(hi, [18, 18, 18])
+
+
+def test_merge_boxes_face_adjacent():
+    """Exactly face-adjacent boxes merge (a component crossing the shared
+    face must be ranked once, not as two fragments)."""
+    import numpy as np
+
+    from runet_tpu.infer.postprocess import _merge_overlapping_boxes
+
+    merged = _merge_overlapping_boxes(
+        [(np.array([0, 0, 0]), np.array([10, 10, 10])),
+         (np.array([10, 0, 0]), np.array([20, 10, 10]))]
+    )
+    assert len(merged) == 1
+    np.testing.assert_array_equal(merged[0][0], [0, 0, 0])
+    np.testing.assert_array_equal(merged[0][1], [20, 10, 10])

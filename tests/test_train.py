@@ -168,3 +168,19 @@ def test_config_presets_cover_baseline():
     assert get_config("cascade").name == "cascade"
     assert get_config("renal_anatomy").model.num_classes == 5
     assert get_config("dp_full").train.batch_size >= 8
+
+
+def test_val_full_every_must_be_multiple_of_val_every():
+    import dataclasses
+
+    import pytest
+
+    from runet_tpu.config import Config, ModelConfig, TrainConfig
+    from runet_tpu.train.loop import train
+
+    cfg = Config(
+        model=ModelConfig(num_classes=2, base_features=4, num_levels=2),
+        train=TrainConfig(val_every=1000, val_full_every=1024),
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        train(cfg, cases=[], out_dir="/tmp/should_not_exist_run")
