@@ -50,13 +50,15 @@ class PatchLoader:
         self._thread.start()
 
     def _worker(self):
+        image_dtype = np.float16 if self.compact_transfer else np.float32
+        label_dtype = np.uint8 if self.compact_transfer else np.int32
         while not self._stop.is_set():
+            # Dtype conversion happens inside the sampler's single-copy
+            # write — no separate astype pass on the 1-core host.
             batch = sample_batch(
-                self._rng, self.cases, self.batch_size, self.patch_size, self.fg_prob
+                self._rng, self.cases, self.batch_size, self.patch_size,
+                self.fg_prob, image_dtype=image_dtype, label_dtype=label_dtype,
             )
-            if self.compact_transfer:
-                images, labels = batch
-                batch = (images.astype(np.float16), labels.astype(np.uint8))
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.1)

@@ -47,8 +47,20 @@ def sample_patch(
     the origin is uniform over valid positions.
     """
     size = np.asarray(patch_size)
-    shape = np.asarray(case.image.shape)
+    start = _sample_start(rng, case, size, fg_prob)
+    img = _crop_with_pad(case.image, start, tuple(size), case.image.min())
+    lab = _crop_with_pad(case.labels, start, tuple(size), 0)
+    return img, lab
 
+
+def _sample_start(
+    rng: np.random.Generator,
+    case: PreparedCase,
+    size: np.ndarray,
+    fg_prob: float,
+) -> np.ndarray:
+    """Patch origin for one draw (fg-biased with prob fg_prob)."""
+    shape = np.asarray(case.image.shape)
     use_fg = (
         case.fg_coords is not None
         and len(case.fg_coords) > 0
@@ -58,16 +70,11 @@ def sample_patch(
         cls = rng.choice(sorted(case.fg_coords.keys()))
         coords = case.fg_coords[cls]
         center = coords[rng.integers(len(coords))]
-        start = center - size // 2
-        # Keep patch inside the volume where possible (shift, don't pad).
-        start = np.clip(start, 0, np.maximum(shape - size, 0))
+        start = np.clip(center - size // 2, 0, np.maximum(shape - size, 0))
     else:
         hi = np.maximum(shape - size, 0) + 1
         start = np.array([rng.integers(h) for h in hi])
-
-    img = _crop_with_pad(case.image, start, tuple(size), case.image.min())
-    lab = _crop_with_pad(case.labels, start, tuple(size), 0)
-    return img, lab
+    return start
 
 
 def sample_batch(
@@ -76,18 +83,35 @@ def sample_batch(
     batch_size: int,
     patch_size: tuple[int, int, int],
     fg_prob: float = 0.5,
+    image_dtype=np.float32,
+    label_dtype=np.int32,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch of patches from uniformly chosen cases.
 
-    Returns image (B, X, Y, Z, 1) float32 and labels (B, X, Y, Z) int32 —
-    NDHWC, the TPU-native layout (channels on lanes).
+    Returns image (B, X, Y, Z, 1) and labels (B, X, Y, Z) — NDHWC, the
+    TPU-native layout (channels on lanes). Dtypes are parameters so the
+    loader can request compact transfer dtypes (f16/uint8) directly.
+
+    Single-copy path: crops are written straight into the preallocated
+    batch (dtype conversion fused into the assignment). The old
+    stack-then-astype version copied every patch 3x and capped the 1-core
+    host at ~7.5 patches/s — less than one v5e chip's training consumption.
     """
-    imgs, labs = [], []
-    for _ in range(batch_size):
+    size = np.asarray(patch_size)
+    images = np.empty((batch_size, *patch_size, 1), image_dtype)
+    labels = np.empty((batch_size, *patch_size), label_dtype)
+    for b in range(batch_size):
         case = cases[rng.integers(len(cases))]
-        img, lab = sample_patch(rng, case, patch_size, fg_prob)
-        imgs.append(img)
-        labs.append(lab)
-    images = np.stack(imgs)[..., None].astype(np.float32)
-    labels = np.stack(labs).astype(np.int32)
+        shape = np.asarray(case.image.shape)
+        start = _sample_start(rng, case, size, fg_prob)
+        end = start + size
+        if np.all(start >= 0) and np.all(end <= shape):
+            sl = tuple(slice(int(s), int(e)) for s, e in zip(start, end))
+            images[b, ..., 0] = case.image[sl]
+            labels[b] = case.labels[sl]
+        else:  # volume smaller than the patch: padded crop (rare path)
+            images[b, ..., 0] = _crop_with_pad(
+                case.image, start, tuple(size), case.image.min()
+            )
+            labels[b] = _crop_with_pad(case.labels, start, tuple(size), 0)
     return images, labels
