@@ -82,6 +82,7 @@ def cmd_train(args):
         out_dir=args.out,
         max_steps=args.steps,
         resume=args.resume,
+        cache_dir=args.cache,
     )
     print(f"done at step {int(state.step)}; loss={float(aux['loss']):.4f}")
 
@@ -241,6 +242,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True)
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--resume", action="store_true")
+    sp.add_argument(
+        "--cache", default=None,
+        help="preprocessed-case cache dir (memory-mapped; full-KiTS scale "
+        "without holding the dataset in host RAM)",
+    )
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("predict", help="segment cases")

@@ -14,6 +14,7 @@ step (SURVEY.md §3.1 "the host↔device boundary moves to a single device_put")
 from __future__ import annotations
 
 import dataclasses
+import json
 from pathlib import Path
 
 import numpy as np
@@ -114,10 +115,84 @@ def prepare_case(
     )
 
 
+def _pp_key(pp: PreprocessConfig) -> str:
+    return json.dumps(
+        {
+            "spacing": list(pp.spacing),
+            "hu_window": list(pp.hu_window),
+            "hu_stats": list(pp.hu_stats) if pp.hu_stats else None,
+        },
+        sort_keys=True,
+    )
+
+
+def prepare_case_cached(
+    rec: CaseRecord, pp: PreprocessConfig, cache_dir: Path
+) -> PreparedCase:
+    """Disk-backed prepare_case: preprocess ONCE, then memory-map.
+
+    A full KiTS19 run (210 cases, ~70 MB each preprocessed) does not fit
+    comfortably in host RAM next to the training process; ``np.load(...,
+    mmap_mode="r")`` gives the patch sampler O(patch-bytes) reads through the
+    page cache instead (the reference's equivalent is nnU-Net-style
+    preprocessed-.npy caching — SURVEY.md §2.1 dataset ingestion [DOMAIN]).
+    The cache key is the preprocess config; a changed config re-preprocesses.
+    """
+    d = Path(cache_dir) / rec.case_id
+    meta_p = d / "meta.json"
+    key = _pp_key(pp)
+    if meta_p.exists():
+        meta = json.loads(meta_p.read_text())
+        if meta.get("pp_key") == key:
+            labels = None
+            fg = None
+            if (d / "labels.npy").exists():
+                labels = np.load(d / "labels.npy", mmap_mode="r")
+                fgz = np.load(d / "fg.npz")
+                fg = {int(k): fgz[k] for k in fgz.files}
+            return PreparedCase(
+                case_id=rec.case_id,
+                image=np.load(d / "image.npy", mmap_mode="r"),
+                labels=labels,
+                native_shape=tuple(meta["native_shape"]),
+                native_spacing=tuple(meta["native_spacing"]),
+                affine=np.asarray(meta["affine"]),
+                fg_coords=fg,
+            )
+    pc = prepare_case(rec, pp)
+    d.mkdir(parents=True, exist_ok=True)
+    np.save(d / "image.npy", pc.image)
+    if pc.labels is not None:
+        np.save(d / "labels.npy", pc.labels)
+        np.savez(d / "fg.npz", **{str(k): v for k, v in (pc.fg_coords or {}).items()})
+    meta_p.write_text(
+        json.dumps(
+            {
+                "pp_key": key,
+                "native_shape": list(pc.native_shape),
+                "native_spacing": list(pc.native_spacing),
+                "affine": np.asarray(pc.affine).tolist(),
+            }
+        )
+    )
+    return dataclasses.replace(
+        pc,
+        image=np.load(d / "image.npy", mmap_mode="r"),
+        labels=np.load(d / "labels.npy", mmap_mode="r") if pc.labels is not None else None,
+    )
+
+
 def prepare_dataset(
-    root: str | Path, pp: PreprocessConfig, limit: int | None = None
+    root: str | Path,
+    pp: PreprocessConfig,
+    limit: int | None = None,
+    cache_dir: str | Path | None = None,
 ) -> list[PreparedCase]:
+    """Preprocess all cases; with ``cache_dir``, results are disk-cached and
+    memory-mapped (full-KiTS scale without holding 15 GB in host RAM)."""
     recs = index_cases(root)
     if limit is not None:
         recs = recs[:limit]
-    return [prepare_case(r, pp) for r in recs]
+    if cache_dir is None:
+        return [prepare_case(r, pp) for r in recs]
+    return [prepare_case_cached(r, pp, Path(cache_dir)) for r in recs]

@@ -102,6 +102,7 @@ def train(
     mesh=None,
     resume: bool = False,
     log_every: int = 50,
+    cache_dir: str | Path | None = None,
 ):
     """Train a model per config; returns (state, last_metrics)."""
     out_dir = Path(out_dir)
@@ -118,7 +119,7 @@ def train(
     if cases is None:
         if data_root is None:
             raise ValueError("need data_root or cases")
-        cases = prepare_dataset(data_root, cfg.preprocess)
+        cases = prepare_dataset(data_root, cfg.preprocess, cache_dir=cache_dir)
     if not cases:
         raise ValueError("no cases found")
     if val_cases is None:

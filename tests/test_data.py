@@ -151,3 +151,47 @@ def test_patch_loader(tmp_path):
         assert isinstance(images, jax.Array)
     finally:
         loader.close()
+
+
+def test_prepare_dataset_disk_cache_roundtrip(tmp_path):
+    """Cached prepare == uncached prepare; second load is memory-mapped and
+    does not re-preprocess; changed preprocess config invalidates."""
+    import dataclasses
+    import json
+
+    from runet_tpu.config import PreprocessConfig
+    from runet_tpu.data.dataset import prepare_dataset
+    from runet_tpu.data.phantom import write_phantom_dataset
+
+    root = tmp_path / "data"
+    write_phantom_dataset(root, num_cases=1, shape=(32, 32, 24))
+    pp = PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None)
+    cache = tmp_path / "cache"
+
+    plain = prepare_dataset(root, pp)[0]
+    cached = prepare_dataset(root, pp, cache_dir=cache)[0]
+    np.testing.assert_array_equal(np.asarray(cached.image), plain.image)
+    np.testing.assert_array_equal(np.asarray(cached.labels), plain.labels)
+    assert set(cached.fg_coords) == set(plain.fg_coords)
+
+    img_path = cache / plain.case_id / "image.npy"
+    mtime = img_path.stat().st_mtime_ns
+    again = prepare_dataset(root, pp, cache_dir=cache)[0]
+    assert img_path.stat().st_mtime_ns == mtime  # reused, not rewritten
+    assert isinstance(again.image, np.memmap)
+    np.testing.assert_array_equal(np.asarray(again.image), plain.image)
+
+    # Different preprocess config must re-preprocess, not serve stale data.
+    pp2 = dataclasses.replace(pp, spacing=(3.0, 3.0, 3.0))
+    other = prepare_dataset(root, pp2, cache_dir=cache)[0]
+    assert other.image.shape != plain.image.shape
+
+    # Sampling from the memmap works and matches in-RAM sampling.
+    from runet_tpu.data.sampler import sample_batch
+
+    rng1 = np.random.default_rng(7)
+    rng2 = np.random.default_rng(7)
+    a = sample_batch(rng1, [plain], 2, (16, 16, 16))
+    b = sample_batch(rng2, [prepare_dataset(root, pp, cache_dir=cache)[0]], 2, (16, 16, 16))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
