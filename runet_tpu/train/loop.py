@@ -161,14 +161,20 @@ def train(
     train_step = make_train_step(step_model, augment=cfg.train.augment)
     eval_step = make_eval_step(model, cfg.model.num_classes)
 
-    sharding = comm.batch_sharding(mesh, 5)
+    # Each process samples only its LOCAL share of the global batch;
+    # comm.shard_batch assembles the global array (single-process: a plain
+    # sharded device_put; multi-host: make_array_from_process_local_data).
+    n_proc = jax.process_count()
+    if batch % n_proc:
+        raise ValueError(f"global batch {batch} not divisible by {n_proc} processes")
     loader = PatchLoader(
         cases,
-        batch_size=batch,
+        batch_size=batch // n_proc,
         patch_size=cfg.train.patch_size,
         fg_prob=cfg.train.fg_prob,
-        seed=cfg.train.seed,
-        sharding=None,  # put both tensors with their own shardings below
+        # Decorrelate patch draws across hosts.
+        seed=cfg.train.seed + jax.process_index(),
+        sharding=None,  # comm.shard_batch applies the shardings per step
     )
 
     aux = {}
@@ -176,8 +182,7 @@ def train(
     try:
         for step in range(start_step, steps):
             images, labels = next(loader)
-            images = jax.device_put(images, sharding)
-            labels = jax.device_put(labels, comm.batch_sharding(mesh, 4))
+            images, labels = comm.shard_batch(mesh, (images, labels))
             if cfg.train.augment:
                 akey = jax.random.fold_in(rng_key, step)
                 state, aux = train_step(state, images, labels, akey)
