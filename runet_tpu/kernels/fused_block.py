@@ -225,16 +225,23 @@ def _cv_bwd(interpret, res, cots):
     gy, gs, gq = cots
     # Fold the stats cotangents into the output cotangent:
     # sums = Σy, sqs = Σy² ⇒ dL/dy += gs + 2·y·gq (per channel).
+    # Compute in the KERNEL dtype (bf16 on the production path): the fold is
+    # the input of two custom_call consumers, so XLA must materialize it —
+    # an f32 fold costs a 2×-bytes tensor (537 MB at 128³ level-0) plus a
+    # downcast pass on each consumer edge, none of it fusable across the
+    # pallas boundary. bf16 grad precision matches what XLA's own conv
+    # backward produces for a bf16 model.
+    dt = y.dtype
     g = (
-        gy.astype(jnp.float32)
-        + gs[None, None, :, None]
-        + 2.0 * y.astype(jnp.float32) * gq[None, None, :, None]
+        gy.astype(dt)
+        + gs.astype(dt)[None, None, :, None]
+        + (2.0 * gq).astype(dt)[None, None, :, None] * y
     )
     # dx: conv of g with spatially flipped, in/out-swapped weights — the
     # same Pallas kernel. Pad g (its halo), discard dx at xp's pad rows
     # (the caller's jnp.pad transpose slices them off anyway).
     w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
-    gp = jnp.pad(g.astype(xp.dtype), ((1, 1), (1, 1), (0, 0), (0, 0)))
+    gp = jnp.pad(g, ((1, 1), (1, 1), (0, 0), (0, 0)))
     dx_core, _, _ = _conv3x3_dhcw_impl(gp, w_flip, interpret=interpret)
     dxp = jnp.pad(
         dx_core.astype(xp.dtype), ((1, 1), (1, 1), (0, 0), (0, 0))
@@ -243,7 +250,7 @@ def _cv_bwd(interpret, res, cots):
     # code under jit and gets eliminated; what remains is the large-kernel
     # correlation XLA autodiff would emit anyway.
     _, vjp_fn = jax.vjp(lambda wv: reference_conv3x3_dhcw(xp, wv)[0], w)
-    (dw,) = vjp_fn(g.astype(xp.dtype))
+    (dw,) = vjp_fn(g)
     return dxp, dw.astype(w.dtype)
 
 
