@@ -19,7 +19,8 @@ import numpy as np
 
 
 def _load_bundle(run_dir: Path, cfg_override: str | None = None):
-    """Rebuild model + params from a training run dir (config.json + ckpt/)."""
+    """Rebuild model + params from a training run dir (config.json + ckpt/)
+    or a serving ``.npz`` export (utils/export.py)."""
     import jax
 
     from runet_tpu.config import Config, get_config
@@ -28,20 +29,34 @@ def _load_bundle(run_dir: Path, cfg_override: str | None = None):
     from runet_tpu.train.checkpoint import CheckpointManager
     from runet_tpu.train.state import create_train_state
 
-    cfg_path = run_dir / "config.json"
-    if cfg_path.exists():
-        cfg = Config.from_json(cfg_path.read_text())
-    elif cfg_override:
-        cfg = get_config(cfg_override)
-    else:
-        raise FileNotFoundError(f"{cfg_path} missing and no --config given")
+    if run_dir.is_file() and run_dir.suffix == ".npz":
+        from runet_tpu.utils.export import load_params_npz
 
-    model = UNet3D(cfg.model)
-    params = init_params(model, jax.random.key(0), cfg.train.patch_size)
-    state = create_train_state(model, params, cfg.train)
-    ckpt = CheckpointManager(run_dir / "ckpt")
-    step = ckpt.best_step() or ckpt.latest_step()
-    state = ckpt.restore(state, step=step)
+        params, cfg_json = load_params_npz(run_dir)
+        if cfg_json is not None:
+            cfg = Config.from_json(cfg_json)
+        elif cfg_override:
+            cfg = get_config(cfg_override)
+        else:
+            raise FileNotFoundError(f"{run_dir} has no embedded config and no --config given")
+        model = UNet3D(cfg.model)
+        params = jax.device_put(params)
+    else:
+        cfg_path = run_dir / "config.json"
+        if cfg_path.exists():
+            cfg = Config.from_json(cfg_path.read_text())
+        elif cfg_override:
+            cfg = get_config(cfg_override)
+        else:
+            raise FileNotFoundError(f"{cfg_path} missing and no --config given")
+
+        model = UNet3D(cfg.model)
+        params = init_params(model, jax.random.key(0), cfg.train.patch_size)
+        state = create_train_state(model, params, cfg.train)
+        ckpt = CheckpointManager(run_dir / "ckpt")
+        step = ckpt.best_step() or ckpt.latest_step()
+        state = ckpt.restore(state, step=step)
+        params = state.params
 
     def apply_fn(p, w):
         return model.apply({"params": p}, w)
@@ -49,7 +64,7 @@ def _load_bundle(run_dir: Path, cfg_override: str | None = None):
     return (
         ModelBundle(
             apply_fn=apply_fn,
-            params=state.params,
+            params=params,
             num_classes=cfg.model.num_classes,
             preprocess=cfg.preprocess,
             infer=cfg.infer,
@@ -149,7 +164,8 @@ def cmd_predict(args):
 
     if coarse is not None:
         for cid, vol, _gt, pred in _pipelined_cascade(
-            coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade
+            coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade,
+            workers=args.workers,
         ):
             emit(cid, vol, pred)
     else:
@@ -180,7 +196,8 @@ def cmd_evaluate(args):
     def results():
         if coarse is not None:
             yield from _pipelined_cascade(
-                coarse, fine, labeled_cases(), fine_cfg.cascade
+                coarse, fine, labeled_cases(), fine_cfg.cascade,
+                workers=args.workers,
             )
         else:
             for cid, vol, gt in labeled_cases():
@@ -199,6 +216,13 @@ def cmd_evaluate(args):
             if k != "case_id"
         }
         print(json.dumps({"summary": mean}))
+
+
+def cmd_export(args):
+    from runet_tpu.utils.export import export_run
+
+    p = export_run(Path(args.run), Path(args.out))
+    print(f"exported best checkpoint to {p}")
 
 
 def cmd_visualize(args):
@@ -256,6 +280,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", default=None, help="preset fallback if run has no config.json")
     sp.add_argument("--out", required=True)
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
+    sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser("evaluate", help="predict + Dice vs ground truth")
@@ -264,7 +289,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--coarse", default=None)
     sp.add_argument("--config", default=None)
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
+    sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("export", help="export a run's best checkpoint to a serving .npz")
+    sp.add_argument("--run", required=True, help="training run dir")
+    sp.add_argument("--out", required=True, help="output .npz path")
+    sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("visualize", help="write PNG overlay panels per case")
     sp.add_argument("--data", required=True)

@@ -1,0 +1,67 @@
+"""Flat-file model export for serving (SURVEY.md L9 deployment adjunct).
+
+Orbax checkpoints are the training-time format (async, keep-best, resume);
+deployment wants a single self-contained artifact. ``export_bundle`` writes
+one ``.npz`` holding the flattened param tree plus the full run config JSON,
+loadable anywhere numpy exists — no Orbax, no run directory.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+_CFG_KEY = "__config_json__"
+
+
+def save_params_npz(path: str | Path, params, config_json: str | None = None) -> Path:
+    """Write a flattened param tree (+ optional config JSON) to one .npz."""
+    from flax.traverse_util import flatten_dict
+
+    path = Path(path)
+    flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(params).items()}
+    if config_json is not None:
+        flat[_CFG_KEY] = np.frombuffer(config_json.encode(), dtype=np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+    return path
+
+
+def load_params_npz(path: str | Path):
+    """Returns (params pytree, config_json | None)."""
+    from flax.traverse_util import unflatten_dict
+
+    z = np.load(Path(path))
+    cfg = None
+    flat = {}
+    for k in z.files:
+        if k == _CFG_KEY:
+            cfg = z[k].tobytes().decode()
+        else:
+            flat[tuple(k.split("/"))] = z[k]
+    return unflatten_dict(flat), cfg
+
+
+def export_run(run_dir: str | Path, out_path: str | Path) -> Path:
+    """Export a training run's BEST checkpoint to a serving .npz."""
+    import jax
+
+    from runet_tpu.config import Config
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.checkpoint import CheckpointManager
+    from runet_tpu.train.state import create_train_state
+
+    run_dir = Path(run_dir)
+    cfg_json = (run_dir / "config.json").read_text()
+    cfg = Config.from_json(cfg_json)
+    model = UNet3D(cfg.model)
+    params = init_params(model, jax.random.key(0), cfg.train.patch_size)
+    state = create_train_state(model, params, cfg.train)
+    ckpt = CheckpointManager(run_dir / "ckpt")
+    step = ckpt.best_step() or ckpt.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {run_dir / 'ckpt'}")
+    state = ckpt.restore(state, step=step)
+    return save_params_npz(out_path, jax.device_get(state.params), cfg_json)

@@ -61,3 +61,46 @@ def test_visualize_panel(tmp_path):
     assert rgb.min() >= 0 and rgb.max() <= 1
     p = save_case_panel(tmp_path / "panel.png", img, labels=seg, pred=seg, title="t")
     assert p.exists() and p.stat().st_size > 1000
+
+
+def test_export_and_predict_from_npz(tmp_path):
+    """export writes a serving .npz; predict loads it in place of a run dir
+    and produces identical output."""
+    import numpy as np
+
+    from runet_tpu.cli import main
+    from runet_tpu.io.nifti import load_volume
+
+    data = tmp_path / "data"
+    run = tmp_path / "run"
+    main([
+        "phantom", "--out", str(data), "--cases", "1",
+        "--shape", "32", "32", "24", "--classes", "3",
+    ])
+    import dataclasses
+    import json
+
+    from runet_tpu.config import Config, ModelConfig, PreprocessConfig, TrainConfig
+    from runet_tpu.train.loop import train
+
+    cfg = Config(
+        model=ModelConfig(num_classes=3, base_features=4, num_levels=2),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=TrainConfig(patch_size=(16, 16, 16), batch_size=1, steps=4,
+                          val_every=2, ckpt_every=2, warmup_steps=0),
+    )
+    train(cfg, data_root=data, out_dir=run, max_steps=4, log_every=2)
+
+    npz = tmp_path / "model.npz"
+    main(["export", "--run", str(run), "--out", str(npz)])
+    assert npz.exists()
+
+    out_a = tmp_path / "preds_run"
+    out_b = tmp_path / "preds_npz"
+    main(["predict", "--data", str(data), "--fine", str(run), "--out", str(out_a)])
+    main(["predict", "--data", str(data), "--fine", str(npz), "--out", str(out_b)])
+    (case,) = sorted(out_a.glob("*.nii.gz"))
+    (case_b,) = sorted(out_b.glob("*.nii.gz"))
+    np.testing.assert_array_equal(
+        np.asarray(load_volume(case).data), np.asarray(load_volume(case_b).data)
+    )
