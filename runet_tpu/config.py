@@ -202,7 +202,7 @@ def _preset_coarse() -> Config:
         # grid where the fused Pallas blocks apply (CascadeConfig).
         preprocess=PreprocessConfig(spacing=(4.0, 4.0, 4.0)),
         train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5,
-                          batch_size=1, grad_accum=2),
+                          batch_size=1, grad_accum=2, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128), overlap=0.5),
     )
 
@@ -215,7 +215,11 @@ def _preset_fine_kits() -> Config:
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
         # batch 1 + 2-step gradient accumulation: effective batch 2 within
         # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
-        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1, grad_accum=2),
+        # val_full_every: keep-best selection keys on full sliding-window
+        # Dice every 5 patch-vals (SURVEY.md §3.1/§3.4 — the reference
+        # validated on held-out volumes, not patches).
+        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1,
+                          grad_accum=2, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128)),
     )
 
@@ -234,7 +238,8 @@ def _preset_renal_anatomy() -> Config:
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
         # batch 1 + 2-step gradient accumulation: effective batch 2 within
         # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
-        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1, grad_accum=2),
+        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1,
+                          grad_accum=2, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128)),
     )
 

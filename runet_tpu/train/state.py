@@ -96,8 +96,13 @@ def make_train_step(model, include_background_dice: bool = False, augment: bool 
         aux = dict(aux, grad_norm=gnorm)
         return state, aux
 
+    # Donate the state only: the batch arrives in compact transfer dtypes
+    # (f16/uint8) and is upcast on device, so donating it can never be
+    # honored — XLA logs "donated buffers were not usable" every step and
+    # the donation does nothing. State donation is the one that matters
+    # (params + opt state alias in place).
     if augment:
-        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+        return jax.jit(train_step, donate_argnums=(0,))
     return jax.jit(lambda s, i, l: train_step(s, i, l), donate_argnums=(0,))
 
 

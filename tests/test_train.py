@@ -170,6 +170,75 @@ def test_config_presets_cover_baseline():
     assert get_config("dp_full").train.batch_size >= 8
 
 
+def test_presets_enable_full_volume_keep_best():
+    """Every shipping preset keys keep-best to full-volume Dice (VERDICT r2
+    item 3): val_full_every set and a valid multiple of val_every."""
+    for name in ("coarse", "fine_kits", "cascade", "renal_anatomy", "dp_full"):
+        cfg = get_config(name)
+        assert cfg.train.val_full_every > 0, name
+        assert cfg.train.val_full_every % cfg.train.val_every == 0, name
+
+
+def test_preset_path_runs_full_volume_keep_best(tmp_path):
+    """Drive train() through a preset (not a hand-built config): the preset's
+    val_full_every wiring must reach validate_full and stamp the best
+    checkpoint with the full-volume score. Geometry/cadence scaled down for
+    the CPU host, val_full_every/val_every ratio taken from the preset."""
+    import dataclasses
+
+    write_phantom_dataset(tmp_path / "data", num_cases=2, shape=(48, 48, 32))
+    cfg = get_config("fine_kits")
+    ratio = cfg.train.val_full_every // cfg.train.val_every
+    assert ratio >= 1
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, base_features=8, num_levels=2, compute_dtype="float32",
+            fused_blocks=False,
+        ),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=dataclasses.replace(
+            cfg.train, patch_size=(16, 16, 16), batch_size=2, grad_accum=1,
+            steps=2 * ratio, warmup_steps=0, val_every=2,
+            val_full_every=2 * ratio, augment=False,
+        ),
+        infer=dataclasses.replace(cfg.infer, patch_size=(16, 16, 16)),
+    )
+    train(cfg, data_root=tmp_path / "data", out_dir=tmp_path / "run",
+          log_every=2 * ratio)
+    ckpt = CheckpointManager(tmp_path / "run" / "ckpt")
+    assert ckpt.best_step() == 2 * ratio  # best stamped by the full val
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("val_full_dice" in l for l in lines)
+
+
+def test_train_step_no_unusable_donation_warning():
+    """The compact-dtype batch must NOT be donated (its upcast makes the
+    donation unusable and XLA warns every step) — state only (VERDICT r2
+    item 7)."""
+    import warnings
+
+    cfg = ModelConfig(num_classes=2, base_features=4, num_levels=2,
+                      compute_dtype="float32")
+    tcfg = TrainConfig(warmup_steps=0, lr_schedule="const", augment=True)
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (16, 16, 16))
+    state = create_train_state(model, params, tcfg)
+    step = make_train_step(model, augment=True)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float16)
+    labels = rng.integers(0, 2, size=(1, 16, 16, 16)).astype(np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any donation warning -> failure
+        state, aux = step(state, jnp.asarray(images), jnp.asarray(labels),
+                          jax.random.key(1))
+    assert np.isfinite(float(aux["loss"]))
+
+
 def test_val_full_every_must_be_multiple_of_val_every():
     import dataclasses
 
