@@ -10,11 +10,21 @@ native-grid resample → CC postprocess) — and prints ONE JSON line:
 ``vs_baseline`` is against the BASELINE.json north star of <10 s/volume
 (= 6 volumes/min) on one TPU v5e chip; >1.0 beats it.
 
-Setup: a KiTS19-sized CT phantom (512×512×160 @ 0.78×0.78×3.0 mm). Both
-cascade stages are briefly trained on phantom patches (params cached in /tmp)
-so the coarse mask — and therefore ROI sizes and fine-stage work — is
-realistic. Timing covers the full predict_case path, host↔device transfers
-included.
+Timing protocol (VERDICT r2 item 1a — robust to the tunnel helper's
+first-execution variance, measured 2 s–10 min for the SAME cached program):
+
+1. ``setup_s``     — phantom cases + briefly-trained params (all /tmp-cached).
+2. ``precompile_s``— the serving warm-up step (infer/warmup.py): every
+   cascade program compiled AND first-executed, concurrently. This is the
+   honest COLD-start cost; a deployment pays it once at process start.
+3. ``warmup_s``    — first case AFTER precompile: what a served request sees.
+4. Sequential: ``2×len(cases)`` timed ``predict_case`` calls cycling THREE
+   phantom cases with different kidney geometries (exercises ROI-bucket
+   reuse, not one memoized shape). Reports median + worst + the raw list.
+5. Pipelined (the metric of record): 12 cases through ``predict_cases``.
+
+Quality columns are phantom-plumbing Dice (mean over the 3 cases), NOT a
+parity claim vs the PyTorch reference — no real KiTS19 data on this machine.
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ import numpy as np
 
 CASE_SHAPE = (512, 512, 160)
 CASE_SPACING = (0.78125, 0.78125, 3.0)
+CASE_SEEDS = (0, 1, 2)
 # 240 steps at the preset patch size: shorter setups leave the 2-case
 # phantom model fragile (120 steps: tumor Dice 0.84-0.92 swinging with ROI
 # padding via InstanceNorm stats; 240 steps: 0.97 across paddings) — worth
@@ -88,7 +99,7 @@ def trained_bundle(preset: str, data_root: Path):
 
         tr = dataclasses.replace(
             cfg.train, batch_size=1, steps=TRAIN_STEPS, warmup_steps=20,
-            val_every=10**9, ckpt_every=10**9, lr=1e-3,
+            val_every=10**9, val_full_every=0, ckpt_every=10**9, lr=1e-3,
             patch_size=TRAIN_PATCH or cfg.train.patch_size,
         )
         bcfg = dataclasses.replace(cfg, train=tr)
@@ -115,18 +126,16 @@ def trained_bundle(preset: str, data_root: Path):
 
 
 def bench_train_step(data_root: Path) -> dict:
-    """BASELINE config 5 training-throughput evidence: fused train step
-    (augment+fwd+bwd+update) at the fine preset geometry on this chip.
-    RTT-amortized (utils/latency.py protocol: enqueue N, one sync, divide).
-    """
-    import time
-
+    """BASELINE config 5 training-throughput evidence at the fine preset
+    geometry on this chip, driven through the PRODUCTION input path
+    (data/pipeline.py PatchLoader: background sampling thread + compact
+    f16/uint8 transfer). Reports both the micro-step and the grad-accum-
+    aware optimizer UPDATE (VERDICT r2 item 5)."""
     import jax
-    import numpy as np
 
     from runet_tpu.config import get_config
-    from runet_tpu.data.sampler import sample_batch
     from runet_tpu.data.dataset import prepare_dataset
+    from runet_tpu.data.pipeline import PatchLoader
     from runet_tpu.models.unet3d import create_train_model, init_params
     from runet_tpu.train.state import create_train_state, make_train_step
     from runet_tpu.utils.timing import device_sync
@@ -138,32 +147,35 @@ def bench_train_step(data_root: Path) -> dict:
     step = make_train_step(model, augment=True)
 
     cases = prepare_dataset(data_root, cfg.preprocess)
-    rng = np.random.default_rng(0)
-    images, labels = sample_batch(
-        rng, cases, cfg.train.batch_size, cfg.train.patch_size
+    loader = PatchLoader(
+        cases, batch_size=cfg.train.batch_size,
+        patch_size=cfg.train.patch_size, fg_prob=cfg.train.fg_prob, seed=0,
     )
-    # Production transfer path (data/pipeline.py compact_transfer): f16
-    # images / uint8 labels, upcast inside the jitted step.
-    images = images.astype(np.float16)
-    labels = labels.astype(np.uint8)
     key = jax.random.key(1)
 
-    def run_steps(n):
+    def run_steps(n, i0=0):
         nonlocal state
         for i in range(n):
-            im = jax.device_put(images)
-            lb = jax.device_put(labels)
-            state, aux = step(state, im, lb, jax.random.fold_in(key, i))
+            im, lb = next(loader)
+            state, aux = step(state, im, lb, jax.random.fold_in(key, i0 + i))
         device_sync(aux["loss"])
         return aux
 
-    run_steps(3)  # warm/compile
-    n = 10
-    t0 = time.monotonic()
-    run_steps(n)
-    dt = (time.monotonic() - t0) / n
+    try:
+        run_steps(3)  # warm/compile
+        n = 16  # multiple of grad_accum so updates are counted exactly
+        t0 = time.monotonic()
+        run_steps(n, i0=3)
+        dt = (time.monotonic() - t0) / n
+    finally:
+        loader.close()
+    accum = max(1, cfg.train.grad_accum)
     return {
         "train_step_ms": round(dt * 1000, 1),
+        # Wall-clock per optimizer UPDATE (= grad_accum micro-steps); the
+        # number that sets epochs/day for BASELINE config 5.
+        "train_update_ms": round(dt * 1000 * accum, 1),
+        "train_grad_accum": accum,
         "train_patches_per_s": round(cfg.train.batch_size / dt, 3),
         "train_patch": list(cfg.train.patch_size),
         "train_batch": cfg.train.batch_size,
@@ -178,11 +190,12 @@ def main():
 
     from runet_tpu.data.phantom import write_phantom_dataset
     from runet_tpu.eval.evaluate import evaluate_prediction
-    from runet_tpu.infer.cascade import predict_case
+    from runet_tpu.infer.cascade import predict_case, predict_cases
+    from runet_tpu.infer.warmup import warmup_cases
 
     t_setup = time.monotonic()
     dev = jax.devices()[0]
-    img, seg = make_case(seed=0)
+    cases = [make_case(seed=s) for s in CASE_SEEDS]
 
     data_root = Path("/tmp/runet_bench_train_data")
     if not data_root.exists():
@@ -195,33 +208,54 @@ def main():
     fine, fine_cfg = trained_bundle("fine_kits", data_root)
     setup_s = time.monotonic() - t_setup
 
-    # Warm-up: compiles every cascade program for this case shape.
-    t_warm = time.monotonic()
-    pred = predict_case(coarse, fine, img, CASE_SPACING, fine_cfg.cascade)
-    warm_s = time.monotonic() - t_warm
+    # Serving precompile (cold start, paid once per process): compile AND
+    # first-execute every cascade program for all three case geometries.
+    t_pre = time.monotonic()
+    pre_stats = warmup_cases(
+        coarse, fine, [(img, CASE_SPACING) for img, _ in cases],
+        fine_cfg.cascade, workers=2,
+    )
+    precompile_s = time.monotonic() - t_pre
 
-    n_iters = 3
-    t0 = time.monotonic()
-    for _ in range(n_iters):
-        pred = predict_case(coarse, fine, img, CASE_SPACING, fine_cfg.cascade)
-    total = time.monotonic() - t0
-    sec_per_volume = total / n_iters
+    # First case a served request would see (programs warm).
+    t_warm = time.monotonic()
+    predict_case(coarse, fine, cases[0][0], CASE_SPACING, fine_cfg.cascade)
+    warmup_s = time.monotonic() - t_warm
+
+    # Sequential latency: cycle the three distinct geometries, keep raw times.
+    seq_times = []
+    preds = {}
+    for it in range(2):
+        for i, (img, _seg) in enumerate(cases):
+            t0 = time.monotonic()
+            preds[i] = predict_case(coarse, fine, img, CASE_SPACING, fine_cfg.cascade)
+            seq_times.append(time.monotonic() - t0)
+    seq_med = float(np.median(seq_times))
+    seq_worst = float(np.max(seq_times))
 
     # Throughput of record: the pipelined serving path (infer/cascade.py
     # predict_cases) — host pre/post of case i overlaps device compute of
-    # case i+1. sec_per_volume above stays the single-case LATENCY.
-    from runet_tpu.infer.cascade import predict_cases
-
-    n_pipe = 6
+    # case i+1. Case mix cycles the three geometries.
+    n_pipe = 12
+    pipe_cases = [
+        (cases[i % len(cases)][0], CASE_SPACING) for i in range(n_pipe)
+    ]
     t0 = time.monotonic()
-    for _ in predict_cases(
-        coarse, fine, [(img, CASE_SPACING)] * n_pipe, fine_cfg.cascade, workers=2
-    ):
+    for _ in predict_cases(coarse, fine, pipe_cases, fine_cfg.cascade, workers=2):
         pass
     pipe_spv = (time.monotonic() - t0) / n_pipe
     vpm = 60.0 / pipe_spv
 
-    quality = evaluate_prediction(pred, seg, fine.num_classes)
+    # Phantom-plumbing Dice, NOT a parity claim vs the PyTorch reference
+    # (no real KiTS19 data on this machine): the two stages are briefly
+    # trained on a trivially separable ellipsoid phantom. Mean over the
+    # three geometries. See README "Benchmark" caveat.
+    quality = [
+        evaluate_prediction(preds[i], seg, fine.num_classes)
+        for i, (_img, seg) in enumerate(cases)
+    ]
+    kidney = float(np.mean([q["kidney_composite"] for q in quality]))
+    tumor = float(np.mean([q["tumor"] for q in quality]))
 
     train_stats = bench_train_step(data_root)
 
@@ -234,19 +268,26 @@ def main():
                 "unit": "volumes/min",
                 "vs_baseline": round(vpm / baseline_vpm, 3),
                 # Single-case latency (sequential) vs pipelined throughput:
-                "sec_per_volume": round(sec_per_volume, 3),
+                "sec_per_volume": round(seq_med, 3),
+                "sec_per_volume_worst": round(seq_worst, 3),
+                "sequential_iters_s": [round(t, 3) for t in seq_times],
                 "pipelined_sec_per_volume": round(pipe_spv, 3),
-                "sequential_volumes_per_min": round(60.0 / sec_per_volume, 3),
+                "pipelined_cases": n_pipe,
+                "sequential_volumes_per_min": round(60.0 / seq_med, 3),
                 "setup_s": round(setup_s, 1),
-                "warmup_s": round(warm_s, 1),
+                # Cold start (once per serving process): all programs
+                # compiled + first-executed, concurrently. warmup_s is the
+                # first case AFTER that — what a request actually sees.
+                "precompile_s": round(precompile_s, 1),
+                "precompile_cases_s": [
+                    pre_stats.get(f"case{i}_s") for i in range(len(cases))
+                ],
+                "warmup_s": round(warmup_s, 1),
                 "device": str(dev),
                 "case_shape": list(CASE_SHAPE),
-                # Phantom-plumbing Dice, NOT a parity claim vs the PyTorch
-                # reference (no real KiTS19 data on this machine): the two
-                # stages are briefly trained on a trivially separable
-                # ellipsoid phantom. See README "Benchmark" caveat.
-                "kidney_dice": round(quality["kidney_composite"], 4),
-                "tumor_dice": round(quality["tumor"], 4),
+                "case_geometries": len(cases),
+                "kidney_dice": round(kidney, 4),
+                "tumor_dice": round(tumor, 4),
                 **train_stats,
             }
         )

@@ -218,6 +218,42 @@ def cmd_evaluate(args):
         print(json.dumps({"summary": mean}))
 
 
+def cmd_warmup(args):
+    """Serving precompile: warm every cascade program at startup so the
+    first real case runs at steady-state latency (infer/warmup.py — first
+    execution of each big program costs seconds-to-minutes through the
+    remote compile/load helper; the persistent XLA cache only removes the
+    compile part)."""
+    from runet_tpu.infer.warmup import warmup_cases, warmup_roi_buckets
+
+    fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
+    coarse, _ = _load_bundle(Path(args.coarse))
+    if args.tta:
+        fine = _with_tta(fine)
+
+    stats = {}
+    if args.data:
+        cases = []
+        for i, (_cid, vol, _gt) in enumerate(_iter_cases(Path(args.data))):
+            if i >= args.cases:
+                break
+            cases.append((vol.data, vol.spacing))
+        stats.update(warmup_cases(coarse, fine, cases, fine_cfg.cascade))
+    elif args.shape:
+        # No data: an all-air dummy case warms the (canonical) coarse
+        # program; pair with --roi for the fine buckets.
+        img = np.full(tuple(args.shape), -1000.0, np.float16)
+        stats.update(
+            warmup_cases(coarse, fine, [(img, tuple(args.spacing))], fine_cfg.cascade)
+        )
+    if args.roi:
+        shapes = [tuple(int(v) for v in s.split("x")) for s in args.roi]
+        stats.update(
+            warmup_roi_buckets(fine, shapes, tuple(args.spacing))
+        )
+    print(json.dumps(stats))
+
+
 def cmd_export(args):
     from runet_tpu.utils.export import export_run
 
@@ -292,6 +328,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
     sp.set_defaults(fn=cmd_evaluate)
 
+    sp = sub.add_parser(
+        "warmup",
+        help="precompile/warm the cascade programs (serving startup step)",
+    )
+    sp.add_argument("--fine", required=True, help="fine model run dir / .npz")
+    sp.add_argument("--coarse", required=True, help="coarse run dir / .npz")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--data", default=None, help="warm with the first --cases real cases")
+    sp.add_argument("--cases", type=int, default=2)
+    sp.add_argument("--shape", type=int, nargs=3, default=None,
+                    help="no-data alternative: dummy case shape (e.g. 512 512 160)")
+    sp.add_argument("--spacing", type=float, nargs=3, default=[0.78125, 0.78125, 3.0])
+    sp.add_argument("--roi", nargs="*", default=None,
+                    help="explicit fine ROI buckets to warm, e.g. 192x160x256")
+    sp.add_argument("--tta", action="store_true")
+    sp.set_defaults(fn=cmd_warmup)
+
     sp = sub.add_parser("export", help="export a run's best checkpoint to a serving .npz")
     sp.add_argument("--run", required=True, help="training run dir")
     sp.add_argument("--out", required=True, help="output .npz path")
@@ -307,6 +360,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # Persistent XLA compile cache for every command: repeat CLI runs hit
+    # warm compiles (utils/cache.py; safe no-op if unavailable).
+    from runet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.debug:
         from runet_tpu.utils.debug import sanitize
 

@@ -34,11 +34,6 @@ class ModelConfig:
     # jax.checkpoint each resolution block: recompute activations in the
     # backward pass, trading FLOPs for HBM (larger patches/batches).
     remat: bool = False
-    # Use the Pallas im2col conv kernel (kernels/conv3d.py) for stride-1
-    # 3x3x3 convs whose shapes it supports (measured 1.4x over XLA at the
-    # 32-channel 128-cubed level-0 geometry); XLA elsewhere. Superseded by
-    # fused_blocks (below), kept for A/B measurement.
-    use_pallas_conv: bool = False
     # Layout-persistent fused Pallas blocks (kernels/fused_block.py): run
     # stride-1 (Conv3D→IN→LeakyReLU) pairs in (D, H, C, W) layout with ONE
     # transpose per block, conv+IN-stats fused in one kernel. Applies where
@@ -196,7 +191,7 @@ def _preset_coarse() -> Config:
     """BASELINE config 1: coarse kidney-localization net, 128³ patch."""
     return Config(
         name="coarse",
-        model=ModelConfig(num_classes=2, base_features=24, num_levels=4, use_pallas_conv=False),
+        model=ModelConfig(num_classes=2, base_features=24, num_levels=4),
         # 4 mm iso: localization tolerates coarse voxels (boxes get a 16 mm
         # margin downstream), and the 512 mm FOV then fits the 128³ canonical
         # grid where the fused Pallas blocks apply (CascadeConfig).
@@ -211,7 +206,7 @@ def _preset_fine_kits() -> Config:
     """BASELINE config 2: fine kidney+tumor net with sliding-window."""
     return Config(
         name="fine_kits",
-        model=ModelConfig(num_classes=3, use_pallas_conv=False),
+        model=ModelConfig(num_classes=3),
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
         # batch 1 + 2-step gradient accumulation: effective batch 2 within
         # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
@@ -234,7 +229,7 @@ def _preset_renal_anatomy() -> Config:
     """BASELINE config 4: kidney/tumor/artery/vein multi-class."""
     return Config(
         name="renal_anatomy",
-        model=ModelConfig(num_classes=5, use_pallas_conv=False),
+        model=ModelConfig(num_classes=5),
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
         # batch 1 + 2-step gradient accumulation: effective batch 2 within
         # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).

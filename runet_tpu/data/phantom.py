@@ -41,6 +41,7 @@ def make_phantom(
     num_classes: int = 3,
     seed: int = 0,
     noise_hu: float = 8.0,
+    vessel_radius: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Return (image_hu float32, labels uint8), both (X, Y, Z)."""
     rng = np.random.default_rng(seed)
@@ -76,9 +77,10 @@ def make_phantom(
     if num_classes >= 5:
         # Artery and vein: tubes from volume center toward each kidney.
         mid = (X / 2, Y * 0.55, Z / 2)
+        r = vessel_radius if vessel_radius is not None else max(1.5, X * 0.02)
         for cls, hu, yoff in ((ARTERY, 180.0, -3.0), (VEIN, 90.0, 3.0)):
             for c in centers:
-                t = _tube_mask(shape, (mid[0], mid[1] + yoff, mid[2]), c, max(1.5, X * 0.02), coords)
+                t = _tube_mask(shape, (mid[0], mid[1] + yoff, mid[2]), c, r, coords)
                 t &= labels == 0
                 image[t] = hu
                 labels[t] = cls
@@ -93,6 +95,7 @@ def write_phantom_dataset(
     shape: tuple[int, int, int] = (96, 96, 64),
     spacing: tuple[float, float, float] = (1.0, 1.0, 2.0),
     num_classes: int = 3,
+    vessel_radius: float | None = None,
 ) -> list[str]:
     """Materialize phantoms on disk in KiTS19 layout:
     root/case_00000/{imaging,segmentation}.nii.gz (SURVEY.md L0)."""
@@ -106,7 +109,10 @@ def write_phantom_dataset(
         cid = f"case_{i:05d}"
         d = root / cid
         d.mkdir(parents=True, exist_ok=True)
-        img, seg = make_phantom(shape, spacing, num_classes=num_classes, seed=i)
+        img, seg = make_phantom(
+            shape, spacing, num_classes=num_classes, seed=i,
+            vessel_radius=vessel_radius,
+        )
         save_volume(d / "imaging.nii.gz", img.astype(np.float32), spacing=spacing)
         save_volume(d / "segmentation.nii.gz", seg, spacing=spacing)
         case_ids.append(cid)

@@ -163,7 +163,12 @@ def _roi_program(
     """One fused device program per ROI: resample→normalize→U-Net forward→
     argmax→one-hot-resample back to the native crop grid. A single dispatch
     + a single uint8 fetch — the per-call tunnel round-trip (~38 ms
-    measured) would otherwise dominate the fine stage."""
+    measured) would otherwise dominate the fine stage.
+
+    Every static here is derived from the BUCKETED fine shape (predict_case
+    grows the native crop to fill the bucket with real context), so the
+    number of compiled variants across a dataset is bounded by the bucket
+    set, not by the number of distinct kidney sizes."""
     from runet_tpu.infer.sliding_window import _single_pass
 
     roi = resample(crop, padded_shape, scale_nf, "linear")
@@ -293,7 +298,7 @@ def predict_case(
     )
     margin_vox = np.ceil(cascade.roi_margin_mm / n_sp).astype(int)
     native_boxes: list[tuple[np.ndarray, np.ndarray]] = []
-    roi_results: list[tuple[np.ndarray, np.ndarray, jnp.ndarray]] = []
+    roi_results: list[tuple[np.ndarray, np.ndarray, tuple, jnp.ndarray]] = []
 
     for lo_c, hi_c in boxes:
         # coarse voxel -> mm -> NATIVE voxel, plus margin.
@@ -309,18 +314,39 @@ def predict_case(
         hi = np.minimum(hi, image.shape)
         if np.any(hi <= lo):
             continue
-        native_boxes.append((lo.copy(), hi.copy()))
-        crop = image[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
 
-        # Resample only the crop to fine spacing, directly at the bucketed
-        # shape: sampling positions clamp at the input edge, which IS
-        # edge-padding — no host pad round-trip, few distinct jit shapes.
-        fine_shape = output_shape_for_spacing(crop.shape, native_spacing, tuple(f_sp))
+        # Bucket the FINE grid, then GROW the native crop so the bucketed
+        # grid is filled with real anatomical context: every static shape of
+        # the ROI program (input crop, fine grid, native output) is then a
+        # pure function of the bucketed fine shape, so compile classes are
+        # bounded by the bucket set across a whole dataset. (Previously the
+        # exact crop dims specialized the program — a fresh 30-60 s XLA
+        # compile per distinct kidney size, fatal for a 200-case sweep.)
+        fine_exact = output_shape_for_spacing(
+            tuple(int(s) for s in (hi - lo)), native_spacing, tuple(f_sp)
+        )
         padded_shape = _bucket_up(
-            np.asarray(fine_shape), cascade.roi_bucket, lane_bucket
+            np.asarray(fine_exact), cascade.roi_bucket, lane_bucket
         )
         scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
         scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
+        # Native extent whose corner-aligned resample covers the full padded
+        # fine grid without edge clamping: (p-1)*scale must stay <= want-1.
+        want = np.asarray(
+            [int(np.ceil((p - 1) * s)) + 1 for p, s in zip(padded_shape, scale_nf)]
+        )
+        extra = np.maximum(want - (hi - lo), 0)
+        lo = np.maximum(lo - extra // 2, 0)
+        lo = np.minimum(lo, np.maximum(np.asarray(image.shape) - want, 0))
+        hi = np.minimum(lo + want, image.shape)
+        native_boxes.append((lo.copy(), hi.copy()))
+        crop = image[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
+        if np.any(hi - lo < want):
+            # Volume smaller than the grown extent on some axis: edge-pad on
+            # host (same values the resampler's clamp would have produced).
+            pads = [(0, int(w - (h - l))) for w, l, h in zip(want, lo, hi)]
+            crop = np.pad(crop, pads, mode="edge")
+        fine_shape = tuple(padded_shape)  # full grid is real context now
 
         single_pass = (
             fine.infer.single_pass_ratio > 0
@@ -344,7 +370,7 @@ def predict_case(
                     fine.preprocess.hu_window,
                     fine.preprocess.hu_stats,
                 )
-            roi_results.append((lo, hi, dev))
+            roi_results.append((lo, hi, tuple(int(w) for w in want), dev))
         else:
             with t.phase("roi_preprocess"):
                 roi = resample(
@@ -369,14 +395,19 @@ def predict_case(
                         fine.num_classes,
                     ).astype(jnp.uint8)
                 )
-            roi_results.append((lo, hi, dev))
+            roi_results.append((lo, hi, tuple(int(w) for w in want), dev))
 
     # ---- fetch + paste (device work for all ROIs already in flight) ----
     from runet_tpu.infer.packing import unpack_nibbles
 
-    for lo, hi, dev in roi_results:
+    for lo, hi, want, dev in roi_results:
         with t.phase("roi_fetch_paste"):
-            crop_labels = unpack_nibbles(np.asarray(dev), int(hi[2] - lo[2]))
+            # Labels come back at the grown crop shape ``want``; only the
+            # in-volume region [0 : hi-lo) is pasted (the rest, if any, was
+            # host edge-padding past the volume boundary).
+            crop_labels = unpack_nibbles(np.asarray(dev), want[2])[
+                : hi[0] - lo[0], : hi[1] - lo[1], : hi[2] - lo[2]
+            ]
             dst = native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
             native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = np.where(
                 crop_labels > 0, crop_labels, dst

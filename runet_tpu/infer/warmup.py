@@ -1,0 +1,111 @@
+"""Serving warm-up / precompile (VERDICT r2 item 1b; SURVEY.md §6).
+
+Cold start is the dominant first-case cost on this deployment: each big
+jitted program pays (a) an XLA compile (~20-60 s, amortized by the
+persistent compilation cache, utils/cache.py) and (b) a first-execution
+load through the remote tunnel helper that has been measured anywhere from
+2 s to 5+ minutes per program under shared-infra queueing. A serving
+process therefore warms its programs ONCE at startup — the cascade needs
+only a handful per deployment: one canonical coarse program plus one fine
+ROI program per bucket (infer/cascade.py bounds ROI statics to the bucket
+set).
+
+Two entry points:
+
+- ``warmup_cases``: run ``predict_case`` over representative case(s) — the
+  exact product path; warms every program those cases touch.
+- ``warmup_roi_buckets``: dispatch the fine ROI program for explicit
+  bucketed fine shapes (when the expected buckets are known without data).
+
+Both return per-item wall-clock so cold cost is attributable. All warm-up
+dispatches run CONCURRENTLY on a small thread pool: JAX dispatch is
+thread-safe and first-execution waits are (partly) queueing in the tunnel
+helper, so overlapping them recovers real wall-clock when the helper
+pipelines.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from runet_tpu.config import CascadeConfig
+
+
+def warmup_cases(
+    coarse,
+    fine,
+    cases,  # iterable of (image, native_spacing)
+    cascade: CascadeConfig = CascadeConfig(),
+    workers: int = 2,
+) -> dict[str, float]:
+    """Warm every cascade program touched by the given cases (full
+    ``predict_case`` path, results discarded). Returns per-case seconds."""
+    from runet_tpu.infer.cascade import predict_case
+
+    out: dict[str, float] = {}
+    t_all = time.monotonic()
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        futs = [
+            pool.submit(predict_case, coarse, fine, img, sp, cascade)
+            for img, sp in cases
+        ]
+        for i, f in enumerate(futs):
+            t0 = time.monotonic()
+            f.result()
+            out[f"case{i}_s"] = round(time.monotonic() - t0, 2)
+    out["total_s"] = round(time.monotonic() - t_all, 2)
+    return out
+
+
+def warmup_roi_buckets(
+    fine,
+    fine_shapes,  # iterable of bucketed fine-grid shapes, e.g. (192,160,256)
+    native_spacing,
+    workers: int = 2,
+) -> dict[str, float]:
+    """Dispatch the fused ROI program for explicit fine buckets on dummy
+    input — for deployments that know their bucket set up front."""
+    import jax.numpy as jnp
+
+    from runet_tpu.infer.cascade import _roi_program
+    from runet_tpu.infer.tta import effective_apply_fn
+
+    n_sp = np.asarray(native_spacing, np.float64)
+    f_sp = np.asarray(fine.preprocess.spacing, np.float64)
+    scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
+    scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
+    apply_fn = effective_apply_fn(fine)
+
+    def one(padded):
+        padded = tuple(int(p) for p in padded)
+        want = tuple(
+            int(np.ceil((p - 1) * s)) + 1 for p, s in zip(padded, scale_nf)
+        )
+        t0 = time.monotonic()
+        out = _roi_program(
+            apply_fn,
+            fine.params,
+            jnp.zeros(want, jnp.float16),
+            padded,
+            padded,
+            want,
+            scale_nf,
+            scale_fn,
+            fine.num_classes,
+            fine.preprocess.hu_window,
+            fine.preprocess.hu_stats,
+        )
+        out.block_until_ready()
+        return time.monotonic() - t0
+
+    out: dict[str, float] = {}
+    t_all = time.monotonic()
+    shapes = [tuple(int(p) for p in s) for s in fine_shapes]
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        for shape, dt in zip(shapes, pool.map(one, shapes)):
+            out[f"roi_{'x'.join(map(str, shape))}_s"] = round(dt, 2)
+    out["total_s"] = round(time.monotonic() - t_all, 2)
+    return out

@@ -34,15 +34,14 @@ class ConvNormAct(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
-    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x, layout: str = "ndhwc"):
-        """layout="ndhwc": (B, D, H, W, C) via XLA (or the legacy per-conv
-        Pallas kernel). layout="dhcw": (B, D, H, C, W) via the fused
-        layout-persistent Pallas conv+stats kernel (kernels/fused_block.py)
-        — callers (EncoderBlock/DecoderBlock) transpose once per block.
-        Both paths share the same parameter tree (checkpoint-stable)."""
+        """layout="ndhwc": (B, D, H, W, C) via XLA. layout="dhcw":
+        (B, D, H, C, W) via the fused layout-persistent Pallas conv+stats
+        kernel (kernels/fused_block.py) — callers (EncoderBlock/DecoderBlock)
+        transpose once per block. Both paths share the same parameter tree
+        (checkpoint-stable)."""
         # The kernel param is owned here (not by nn.Conv) so the XLA and
         # Pallas paths share one checkpoint-stable parameter.
         cin = x.shape[-1] if layout == "ndhwc" else x.shape[-2]
@@ -65,28 +64,17 @@ class ConvNormAct(nn.Module):
                 axis_name=self.axis_name,
             )(y, moments=(mean, sqm), channel_axis=-2)
             return nn.leaky_relu(y, self.negative_slope)
-        use_pallas = False
-        if self.use_pallas_conv and self.strides == (1, 1, 1):
-            from runet_tpu.kernels.conv3d import pallas_conv_applicable
-
-            use_pallas = pallas_conv_applicable(x.shape, cin)
         x = x.astype(self.dtype)
-        if use_pallas:
-            from runet_tpu.kernels.conv3d import pallas_conv3x3
-
-            k16 = kernel.astype(self.dtype)
-            x = jax.vmap(lambda v: pallas_conv3x3(v, k16))(x)
-        else:
-            # No preferred_element_type: the MXU accumulates bf16 matmuls in
-            # f32 regardless, and a f32 output here makes the autodiff
-            # transpose-conv see mismatched (f32 cotangent, bf16 kernel).
-            x = jax.lax.conv_general_dilated(
-                x,
-                kernel.astype(self.dtype),
-                window_strides=self.strides,
-                padding="SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )
+        # No preferred_element_type: the MXU accumulates bf16 matmuls in
+        # f32 regardless, and a f32 output here makes the autodiff
+        # transpose-conv see mismatched (f32 cotangent, bf16 kernel).
+        x = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
         x = InstanceNorm(
             eps=self.norm_eps,
             dtype=self.dtype,
@@ -100,7 +88,7 @@ def _fused_pair(cna0, cna1, x):
     """Run one or two stride-1 ConvNormActs in the layout-persistent fused
     path: ONE NDHWC→(D,H,C,W) transpose at entry and one back at exit,
     amortized over the convs between them (the round-1 per-conv-transpose
-    loss, kernels/conv3d.py docstring, is exactly what this avoids)."""
+    loss, kernels/attic/conv3d.py docstring, is exactly what this avoids)."""
     x = jnp.swapaxes(x, 3, 4)  # (B, D, H, W, C) → (B, D, H, C, W)
     if cna0 is not None:
         x = cna0(x, layout="dhcw")
@@ -117,7 +105,6 @@ class EncoderBlock(nn.Module):
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
 
-    use_pallas_conv: bool = False
     fused_blocks: bool = False
 
     @nn.compact
@@ -131,7 +118,6 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
-            use_pallas_conv=self.use_pallas_conv,
         )
         cna0 = ConvNormAct(self.features, strides=stride, **kw)
         cna1 = ConvNormAct(self.features, **kw)
@@ -164,7 +150,6 @@ class DecoderBlock(nn.Module):
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
     upsample_mode: str = "pixelshuffle"
-    use_pallas_conv: bool = False
     fused_blocks: bool = False
 
     @nn.compact
@@ -198,7 +183,6 @@ class DecoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
-            use_pallas_conv=self.use_pallas_conv,
         )
         cna0 = ConvNormAct(self.features, **kw)
         cna1 = ConvNormAct(self.features, **kw)
@@ -242,7 +226,6 @@ class UNet3D(nn.Module):
             dtype=dtype,
             param_dtype=param_dtype,
             axis_name=cfg.spatial_axis,
-            use_pallas_conv=cfg.use_pallas_conv,
             fused_blocks=cfg.fused_blocks,
         )
 

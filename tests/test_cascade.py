@@ -164,3 +164,53 @@ def test_bucket_up_lane_axis_cost_rule():
     assert _bucket_up(np.array([40, 40, 30]), 16, 128) == (48, 48, 32)
     # No bucket_z: plain uniform bucketing.
     assert _bucket_up(np.array([167, 151, 240]), 64) == (192, 192, 256)
+
+
+def test_roi_program_statics_bounded_by_bucket(monkeypatch):
+    """ROI-program static shapes are pure functions of the BUCKETED fine
+    shape: cases with different kidney sizes share compiled programs, so the
+    compile-class count across a dataset is bounded by the bucket set (not
+    by distinct crop sizes — each of which would cost a fresh 30-60 s XLA
+    compile on a real sweep)."""
+    import runet_tpu.infer.cascade as cas
+
+    recorded = []
+    orig = cas._roi_program
+
+    def recording(apply_fn, params, crop, padded_shape, fine_shape,
+                  crop_shape, *a, **k):
+        recorded.append((tuple(crop.shape), tuple(padded_shape),
+                         tuple(fine_shape), tuple(crop_shape)))
+        return orig(apply_fn, params, crop, padded_shape, fine_shape,
+                    crop_shape, *a, **k)
+
+    monkeypatch.setattr(cas, "_roi_program", recording)
+
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    cfg = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+    for seed in (0, 1, 2, 3):
+        _, seg = make_phantom((64, 64, 48), (1.0, 1.0, 1.5), num_classes=3,
+                              seed=seed)
+        pred = predict_case(coarse, fine, seg.astype(np.float32),
+                            (1.0, 1.0, 1.5), cascade=cfg)
+        m = evaluate_prediction(pred, seg, 3)
+        assert m["kidney_composite"] > 0.85, (seed, m)
+
+    assert recorded, "no ROI dispatches recorded"
+    keys = {(p, f, c) for _, p, f, c in recorded}
+    padded = {p for p, _, _ in keys}
+    # One static key per distinct bucket: fine grid == bucket, input crop ==
+    # deterministic grown extent.
+    assert len(keys) == len(padded), keys
+    for shape, p, f, c in recorded:
+        assert f == p, (f, p)
+        assert shape == c, (shape, c)

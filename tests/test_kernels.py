@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from runet_tpu.kernels.fused_norm import (
+from runet_tpu.kernels.attic.fused_norm import (
     fused_instance_norm_lrelu,
     reference_instance_norm_lrelu,
 )

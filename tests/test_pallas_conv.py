@@ -1,7 +1,7 @@
-"""Pallas conv3d kernel parity + integration (SURVEY.md §4.2).
+"""Attic conv3d kernel parity (SURVEY.md §4.2; kernels/attic/__init__.py).
 
-Interpret mode on CPU here; the compiled-on-TPU parity is exercised by the
-verify drives and bench (measured 1.4x over XLA at the level-0 geometry).
+The per-conv im2col kernel was superseded by the fused blocks but its
+measurements stay reproducible: interpret-mode parity on CPU here.
 """
 
 import numpy as np
@@ -10,15 +10,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from runet_tpu.config import ModelConfig
-from runet_tpu.kernels.conv3d import (
+from runet_tpu.kernels.attic.conv3d import (
     conv3x3x3_same,
     pallas_conv3x3,
     pallas_conv_applicable,
     pallas_conv_shape_ok,
     reference_conv3x3x3,
 )
-from runet_tpu.models.unet3d import UNet3D, init_params
 
 
 @pytest.mark.parametrize("shape,cout", [((4, 16, 128, 16), 24), ((2, 8, 128, 8), 8)])
@@ -45,7 +43,7 @@ def test_applicability_gate():
 
 def test_custom_vjp_grads_match_xla(monkeypatch):
     # Route the kernel through interpret mode (CPU test env).
-    import runet_tpu.kernels.conv3d as k
+    import runet_tpu.kernels.attic.conv3d as k
 
     orig = conv3x3x3_same
     monkeypatch.setattr(
@@ -66,35 +64,3 @@ def test_custom_vjp_grads_match_xla(monkeypatch):
     rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-3)
-
-
-def test_model_flag_parity():
-    """Same params, flag on vs off -> same logits (Pallas path active only
-    where shapes allow; here W=128 activates it)."""
-    import runet_tpu.kernels.conv3d as k
-
-    # Route the flagged path through interpret mode on CPU.
-    orig = k.conv3x3x3_same
-    orig_app = k.pallas_conv_applicable
-    k_interp = lambda x, w, interpret=True: orig(x, w, interpret=True)
-    try:
-        k.conv3x3x3_same = k_interp
-        k.pallas_conv_applicable = k.pallas_conv_shape_ok  # bypass TPU gate
-
-        base = dict(
-            num_classes=2, base_features=8, num_levels=2, compute_dtype="float32"
-        )
-        m_off = UNet3D(ModelConfig(**base, use_pallas_conv=False))
-        m_on = UNet3D(ModelConfig(**base, use_pallas_conv=True))
-        params = init_params(m_off, jax.random.key(0), (4, 8, 128))
-        x = jnp.asarray(
-            np.random.default_rng(2).normal(size=(1, 4, 8, 128, 1)), jnp.float32
-        )
-        out_off = m_off.apply({"params": params}, x)
-        out_on = m_on.apply({"params": params}, x)
-        np.testing.assert_allclose(
-            np.asarray(out_on), np.asarray(out_off), atol=2e-3
-        )
-    finally:
-        k.conv3x3x3_same = orig
-        k.pallas_conv_applicable = orig_app
