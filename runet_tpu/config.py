@@ -40,6 +40,10 @@ class ModelConfig:
     # shapes fit (level 0 at 128³ patches; more levels on larger volumes);
     # XLA everywhere else. BASELINE north_star "fused Pallas kernels".
     fused_blocks: bool = True
+    # Which fused kernel generation: "v2" = (D, C, H, W) zero-copy tap GEMMs
+    # (kernels/fused_block.py v2 section); "v1" = (D, H, C, W) im2col,
+    # kept for A/B.
+    fused_kernel: str = "v2"
     # Use fused blocks inside the *training* step too. Default OFF: measured
     # on v5e at 128³ batch 1, the fused custom_vjp regresses the train step
     # (491 vs 300 ms/step) — dx re-runs the kernel on the cotangent and dw is

@@ -42,6 +42,7 @@ def make_phantom(
     seed: int = 0,
     noise_hu: float = 8.0,
     vessel_radius: float | None = None,
+    kidney_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Return (image_hu float32, labels uint8), both (X, Y, Z)."""
     rng = np.random.default_rng(seed)
@@ -57,7 +58,11 @@ def make_phantom(
 
     # Two kidneys, slightly jittered.
     jitter = lambda s: rng.uniform(-s, s)
-    k_radii = (X * 0.12, Y * 0.10, Z * 0.18)
+    k_radii = (
+        X * 0.12 * kidney_scale,
+        Y * 0.10 * kidney_scale,
+        Z * 0.18 * kidney_scale,
+    )
     centers = [
         (X * 0.30 + jitter(2), Y * 0.45 + jitter(2), Z * 0.50 + jitter(2)),
         (X * 0.70 + jitter(2), Y * 0.45 + jitter(2), Z * 0.50 + jitter(2)),
@@ -96,6 +101,7 @@ def write_phantom_dataset(
     spacing: tuple[float, float, float] = (1.0, 1.0, 2.0),
     num_classes: int = 3,
     vessel_radius: float | None = None,
+    kidney_scale: float = 1.0,
 ) -> list[str]:
     """Materialize phantoms on disk in KiTS19 layout:
     root/case_00000/{imaging,segmentation}.nii.gz (SURVEY.md L0)."""
@@ -111,7 +117,7 @@ def write_phantom_dataset(
         d.mkdir(parents=True, exist_ok=True)
         img, seg = make_phantom(
             shape, spacing, num_classes=num_classes, seed=i,
-            vessel_radius=vessel_radius,
+            vessel_radius=vessel_radius, kidney_scale=kidney_scale,
         )
         save_volume(d / "imaging.nii.gz", img.astype(np.float32), spacing=spacing)
         save_volume(d / "segmentation.nii.gz", seg, spacing=spacing)

@@ -257,6 +257,249 @@ def _cv_bwd(interpret, res, cots):
 conv3x3_dhcw.defvjp(_cv_fwd, _cv_bwd)
 
 
+# ---------------------------------------------------------------------------
+# v2: (D, C, H, W) layout — zero-copy tap GEMMs
+#
+# The v1 kernel above spends its VPU on 27·RH (C, W) im2col copies per
+# h-block plus a (Cout, RH, W)→(RH, Cout, W) transpose per output tile
+# (measured 17 TF/s vs the Cout=32 structural bound ~26). v2 removes both:
+# with channels ABOVE the H·W plane, every tap's GEMM operand is a direct
+# VMEM view —
+#
+#   slab (TD+2, C, (TH+2)·W):  x_tap = slab[kd+d, :, (h0+kh)·W : +RH·W]
+#                                      → (C, RH·W), no copy
+#    3 kd-taps merge along K:   slab[d:d+3, :, colslice] → (3C, RH·W)
+#                                      (leading-dim merge, no data movement)
+#
+# so each h-block is NINE accumulating (Cout, 3C)×(3C, RH·W) dots (kh × kw)
+# and the result (Cout, RH·W) stores straight into the (D, Cout, H·W) output
+# — no transpose. The W-shift slabs (kw taps) are built once per slab by the
+# same roll+mask trick; in the flattened (TH+2)·W lane dim the roll wraps
+# across H rows, but the wrapped lane is exactly the one the SAME-padding
+# mask zeroes. Lane alignment of the column slices needs (RH·W) % 128 == 0
+# and W-offsets aligned: W % 128 keeps every slice vreg-aligned (W=64 is the
+# next frontier: 64-offset slices).
+# ---------------------------------------------------------------------------
+
+
+def _conv_stats_kernel_v2(
+    xp, wt_ref, o_ref, sum_ref, sq_ref, slab, slabR, slabL, sem,
+    *, TD, TH, RH, W, C,
+):
+    d_tile = pl.program_id(0)
+    h_tile = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        xp.at[pl.ds(d_tile * TD, TD + 2), :, pl.ds(h_tile * TH * W, (TH + 2) * W)],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    # W-shifted tap slabs: roll along the flattened (TH+2)·W lane dim + zero
+    # the per-W-row wrapped column (== SAME zero padding in W). 32-bit roll
+    # (Mosaic lane rotate), exact bf16 round-trip.
+    n_rows = (TD + 2) * C
+    HW = (TH + 2) * W
+    x2 = slab[:].reshape(n_rows, HW).astype(jnp.float32)
+    wmod = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (n_rows, HW), 1), W)
+    xr = jnp.where(wmod == 0, 0.0, pltpu.roll(x2, 1, axis=1))
+    xl = jnp.where(wmod == W - 1, 0.0, pltpu.roll(x2, HW - 1, axis=1))
+    slabR[:] = xr.reshape(slab.shape).astype(slab.dtype)  # [., w] = x[., w-1]
+    slabL[:] = xl.reshape(slab.shape).astype(slab.dtype)  # [., w] = x[., w+1]
+
+    Cout = o_ref.shape[1]
+    n_h_blocks = TH // RH
+    slabs = (slabR, slab, slabL)  # kw = 0, 1, 2 → x[w + kw - 1]
+
+    sums = jnp.zeros((1, Cout), jnp.float32)
+    sqs = jnp.zeros((1, Cout), jnp.float32)
+    # Static unroll over (depth, h-block): every column slice below then has
+    # a STATIC lane offset (multiples of W), which Mosaic maps to aligned
+    # vreg windows — a traced offset would force a lane-relayout per slice.
+    for d in range(TD):
+        for hb in range(n_h_blocks):
+            h0 = hb * RH
+            acc = jnp.zeros((Cout, RH * W), jnp.float32)
+            for kh in range(3):
+                for kw in range(3):
+                    # (3, C, RH·W) view → (3C, RH·W): kd folds into K.
+                    xv = slabs[kw][
+                        pl.ds(d, 3), :, pl.ds((h0 + kh) * W, RH * W)
+                    ].reshape(3 * C, RH * W)
+                    acc = acc + jnp.dot(
+                        wt_ref[kh, kw], xv, preferred_element_type=jnp.float32
+                    )
+            yb = acc.astype(o_ref.dtype)
+            o_ref[d, :, pl.ds(h0 * W, RH * W)] = yb
+            # IN stats from the rounded output (matches the XLA fallback).
+            yf = yb.astype(jnp.float32)
+            sums = sums + jnp.sum(yf, axis=1)[None]
+            sqs = sqs + jnp.sum(yf * yf, axis=1)[None]
+    sum_ref[0, 0, 0] = sums[0]
+    sq_ref[0, 0, 0] = sqs[0]
+
+
+def _pick_tiles_v2(D: int, H: int, C: int, W: int, itemsize: int) -> tuple[int, int, int]:
+    """(TD, TH, RH) for v2: no col buffer, so the slab budget is the whole
+    story; RH bounds the f32 accumulator (Cout·RH·W) Mosaic keeps live."""
+    for TD, TH in ((4, 16), (2, 16), (2, 8), (2, 4), (1, 2), (1, 1)):
+        if D % TD or H % TH:
+            continue
+        slab_b = 3 * (TD + 2) * C * (TH + 2) * W * itemsize
+        if slab_b > 10 * 1024 * 1024:
+            continue
+        for RH in (min(8, TH), 4, 2, 1):
+            if RH > TH or TH % RH:
+                continue
+            if (RH * W) % 128:
+                continue
+            return TD, TH, RH
+    raise ValueError(f"no v2 tile config for D={D} H={H} C={C} W={W}")
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_dchw_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """xp: (D+2, C, H+2, W) — D/H zero-padded by 1, W unpadded (SAME padding
+    in W from the in-kernel roll masks). w: (3, 3, 3, C, Cout).
+
+    Returns (y (D, Cout, H, W) in xp.dtype, sums (Cout,) f32, sqs (Cout,) f32).
+
+    Constraints: C/Cout multiples of 16, (RH·W) % 128 == 0 with W-aligned
+    column slices (W % 128 for now), (D, H) divisible by a tile config.
+    """
+    Dp, C, Hp, W = xp.shape
+    D, H = Dp - 2, Hp - 2
+    Cout = w.shape[-1]
+    if C % 16 or Cout % 16 or W % 128:
+        raise ValueError(f"need C%16==0, Cout%16==0, W%128==0; got C={C} Cout={Cout} W={W}")
+    TD, TH, RH = _pick_tiles_v2(D, H, C, W, xp.dtype.itemsize)
+
+    # (kh, kw, Cout, 3C) with the K dim kd-major/c-minor — matches the
+    # (3, C, RH·W)→(3C, RH·W) view merge in the kernel.
+    wt = w.transpose(1, 2, 4, 0, 3).reshape(3, 3, Cout, 3 * C).astype(xp.dtype)
+    xflat = xp.reshape(Dp, C, Hp * W)
+    kernel = partial(_conv_stats_kernel_v2, TD=TD, TH=TH, RH=RH, W=W, C=C)
+    nD, nH = D // TD, H // TH
+    y, sums, sqs = pl.pallas_call(
+        kernel,
+        grid=(nD, nH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TD, Cout, TH * W), lambda d, h: (d, 0, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, Cout), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, Cout), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, Cout, H * W), xp.dtype),
+            jax.ShapeDtypeStruct((nD, nH, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((nD, nH, 1, Cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xflat, wt)
+    return (
+        y.reshape(D, Cout, H, W),
+        sums.sum(axis=(0, 1, 2)),
+        sqs.sum(axis=(0, 1, 2)),
+    )
+
+
+def reference_conv3x3_dchw(xp, w):
+    """XLA oracle with the v2 contract (same layout, same stats)."""
+    # (D+2, C, H+2, W) → (1, D+2, H+2, W, C); VALID in D/H, SAME-by-pad in W.
+    x = jnp.transpose(xp, (0, 2, 3, 1))[None]
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (0, 0), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+    y = jnp.transpose(y, (0, 3, 1, 2)).astype(xp.dtype)  # (D, Cout, H, W)
+    yf = y.astype(jnp.float32)
+    return y, jnp.sum(yf, axis=(0, 2, 3)), jnp.sum(yf * yf, axis=(0, 2, 3))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_dchw(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """Differentiable v2 fused conv+stats in (D, C, H, W) layout; forward is
+    the zero-copy Pallas kernel, dx re-runs it on the cotangent with
+    flipped/swapped weights, dw is XLA's correlation (as v1)."""
+    return _conv3x3_dchw_impl(xp, w, interpret=interpret)
+
+
+def _cv2_fwd(xp, w, interpret):
+    y, sums, sqs = _conv3x3_dchw_impl(xp, w, interpret=interpret)
+    return (y, sums, sqs), (xp, w, y)
+
+
+def _cv2_bwd(interpret, res, cots):
+    xp, w, y = res
+    gy, gs, gq = cots
+    dt = y.dtype  # fold in kernel dtype — see _cv_bwd rationale
+    g = (
+        gy.astype(dt)
+        + gs.astype(dt)[None, :, None, None]
+        + (2.0 * gq).astype(dt)[None, :, None, None] * y
+    )
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    gp = jnp.pad(g, ((1, 1), (0, 0), (1, 1), (0, 0)))
+    dx_core, _, _ = _conv3x3_dchw_impl(gp, w_flip, interpret=interpret)
+    dxp = jnp.pad(
+        dx_core.astype(xp.dtype), ((1, 1), (0, 0), (1, 1), (0, 0))
+    )
+    _, vjp_fn = jax.vjp(lambda wv: reference_conv3x3_dchw(xp, wv)[0], w)
+    (dw,) = vjp_fn(g)
+    return dxp, dw.astype(w.dtype)
+
+
+conv3x3_dchw.defvjp(_cv2_fwd, _cv2_bwd)
+
+
+def conv_in_stats_dchw_batch(x: jnp.ndarray, kernel: jnp.ndarray, interpret=None):
+    """Batched v2 fused conv+stats for the model (models/unet3d.py).
+
+    x: (B, D, C, H, W) in compute dtype; kernel: (3, 3, 3, Cin, Cout).
+    Channels zero-padded to multiples of 16 (exact). Returns
+    (y (B, D, Cout, H, W), mean (B, Cout) f32, sqmean (B, Cout) f32).
+    """
+    if interpret is None:
+        interpret = FORCE_INTERPRET and jax.default_backend() != "tpu"
+    B, D, C, H, W = x.shape
+    Cout = kernel.shape[-1]
+    Cp, Coutp = _ceil16(C), _ceil16(Cout)
+    k = kernel.astype(x.dtype)
+    if Cp != C or Coutp != Cout:
+        k = jnp.pad(k, [(0, 0)] * 3 + [(0, Cp - C), (0, Coutp - Cout)])
+    if Cp != C:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, Cp - C), (0, 0), (0, 0)])
+    n = float(D * H * W)
+    ys, means, sqms = [], [], []
+    for b in range(B):
+        xp = jnp.pad(x[b], ((1, 1), (0, 0), (1, 1), (0, 0)))
+        y, s, q = conv3x3_dchw(xp, k, interpret)
+        ys.append(y[:, :Cout])
+        means.append(s[:Cout] / n)
+        sqms.append(q[:Cout] / n)
+    return jnp.stack(ys), jnp.stack(means), jnp.stack(sqms)
+
+
 def fused_block_applicable(
     ndhwc_shape: tuple[int, ...], features: int | None = None
 ) -> bool:

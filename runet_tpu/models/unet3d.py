@@ -37,32 +37,37 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, layout: str = "ndhwc"):
-        """layout="ndhwc": (B, D, H, W, C) via XLA. layout="dhcw":
-        (B, D, H, C, W) via the fused layout-persistent Pallas conv+stats
-        kernel (kernels/fused_block.py) — callers (EncoderBlock/DecoderBlock)
-        transpose once per block. Both paths share the same parameter tree
-        (checkpoint-stable)."""
+        """layout="ndhwc": (B, D, H, W, C) via XLA. layout="dchw" (v2,
+        production) / "dhcw" (v1, kept for A/B): fused layout-persistent
+        Pallas conv+stats kernels (kernels/fused_block.py) — callers
+        (EncoderBlock/DecoderBlock) transpose once per block. All paths
+        share the same parameter tree (checkpoint-stable)."""
         # The kernel param is owned here (not by nn.Conv) so the XLA and
         # Pallas paths share one checkpoint-stable parameter.
-        cin = x.shape[-1] if layout == "ndhwc" else x.shape[-2]
+        cin = {"ndhwc": x.shape[-1], "dhcw": x.shape[-2], "dchw": x.shape[-3]}[layout]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (3, 3, 3, cin, self.features),
             self.param_dtype,
         )
-        if layout == "dhcw":
-            from runet_tpu.kernels.fused_block import conv_in_stats_dhcw_batch
+        if layout in ("dhcw", "dchw"):
+            from runet_tpu.kernels.fused_block import (
+                conv_in_stats_dchw_batch,
+                conv_in_stats_dhcw_batch,
+            )
 
             if self.strides != (1, 1, 1):
-                raise ValueError("fused dhcw path is stride-1 only")
-            y, mean, sqm = conv_in_stats_dhcw_batch(x.astype(self.dtype), kernel)
+                raise ValueError("fused path is stride-1 only")
+            fn = conv_in_stats_dchw_batch if layout == "dchw" else conv_in_stats_dhcw_batch
+            y, mean, sqm = fn(x.astype(self.dtype), kernel)
             y = InstanceNorm(
                 eps=self.norm_eps,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 axis_name=self.axis_name,
-            )(y, moments=(mean, sqm), channel_axis=-2)
+            )(y, moments=(mean, sqm),
+              channel_axis=-2 if layout == "dhcw" else -3)
             return nn.leaky_relu(y, self.negative_slope)
         x = x.astype(self.dtype)
         # No preferred_element_type: the MXU accumulates bf16 matmuls in
@@ -84,11 +89,18 @@ class ConvNormAct(nn.Module):
         return nn.leaky_relu(x, self.negative_slope)
 
 
-def _fused_pair(cna0, cna1, x):
+def _fused_pair(cna0, cna1, x, version: str = "v2"):
     """Run one or two stride-1 ConvNormActs in the layout-persistent fused
-    path: ONE NDHWC→(D,H,C,W) transpose at entry and one back at exit,
-    amortized over the convs between them (the round-1 per-conv-transpose
-    loss, kernels/attic/conv3d.py docstring, is exactly what this avoids)."""
+    path: ONE layout transpose at entry and one back at exit, amortized over
+    the convs between them (the round-1 per-conv-transpose loss,
+    kernels/attic/conv3d.py docstring, is exactly what this avoids).
+    v2 = (B, D, C, H, W) zero-copy tap-GEMM kernel; v1 = (B, D, H, C, W)."""
+    if version == "v2":
+        x = jnp.transpose(x, (0, 1, 4, 2, 3))  # NDHWC → (B, D, C, H, W)
+        if cna0 is not None:
+            x = cna0(x, layout="dchw")
+        x = cna1(x, layout="dchw")
+        return jnp.transpose(x, (0, 1, 3, 4, 2))
     x = jnp.swapaxes(x, 3, 4)  # (B, D, H, W, C) → (B, D, H, C, W)
     if cna0 is not None:
         x = cna0(x, layout="dhcw")
@@ -106,6 +118,7 @@ class EncoderBlock(nn.Module):
     axis_name: str | None = None
 
     fused_blocks: bool = False
+    fused_kernel: str = "v2"
 
     @nn.compact
     def __call__(self, x):
@@ -124,10 +137,10 @@ class EncoderBlock(nn.Module):
         if self.downsample:
             x = cna0(x)  # strided: XLA
             if self.fused_blocks and fused_block_applicable(x.shape, self.features):
-                return _fused_pair(None, cna1, x)
+                return _fused_pair(None, cna1, x, self.fused_kernel)
             return cna1(x)
         if self.fused_blocks and fused_block_applicable(x.shape, self.features):
-            return _fused_pair(cna0, cna1, x)
+            return _fused_pair(cna0, cna1, x, self.fused_kernel)
         x = cna0(x)
         x = cna1(x)
         return x
@@ -151,6 +164,7 @@ class DecoderBlock(nn.Module):
     axis_name: str | None = None
     upsample_mode: str = "pixelshuffle"
     fused_blocks: bool = False
+    fused_kernel: str = "v2"
 
     @nn.compact
     def __call__(self, x, skip):
@@ -189,7 +203,7 @@ class DecoderBlock(nn.Module):
         from runet_tpu.kernels.fused_block import fused_block_applicable
 
         if self.fused_blocks and fused_block_applicable(x.shape, self.features):
-            return _fused_pair(cna0, cna1, x)
+            return _fused_pair(cna0, cna1, x, self.fused_kernel)
         x = cna0(x)
         x = cna1(x)
         return x
@@ -227,6 +241,7 @@ class UNet3D(nn.Module):
             param_dtype=param_dtype,
             axis_name=cfg.spatial_axis,
             fused_blocks=cfg.fused_blocks,
+            fused_kernel=cfg.fused_kernel,
         )
 
         enc_cls, dec_cls = EncoderBlock, DecoderBlock

@@ -10,9 +10,12 @@ import jax.numpy as jnp
 
 from runet_tpu.kernels import fused_block as fb
 from runet_tpu.kernels.fused_block import (
+    conv3x3_dchw,
     conv3x3_dhcw,
+    conv_in_stats_dchw_batch,
     conv_in_stats_dhcw_batch,
     fused_block_applicable,
+    reference_conv3x3_dchw,
     reference_conv3x3_dhcw,
 )
 
@@ -116,7 +119,8 @@ def test_applicability_gate():
             fb.FORCE_INTERPRET = False
 
 
-def test_unet_fused_matches_xla_forward():
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_unet_fused_matches_xla_forward(version):
     """Model-level parity: fused blocks ON (interpret) == XLA path, same
     params; and the param tree is identical (checkpoint-stable)."""
     from runet_tpu.config import ModelConfig
@@ -128,7 +132,7 @@ def test_unet_fused_matches_xla_forward():
     )
     cfg_f = ModelConfig(
         num_classes=2, base_features=16, num_levels=2,
-        compute_dtype="float32", fused_blocks=True,
+        compute_dtype="float32", fused_blocks=True, fused_kernel=version,
     )
     model_x, model_f = UNet3D(cfg_x), UNet3D(cfg_f)
     params = init_params(model_x, jax.random.key(0), (4, 8, 128))
@@ -164,14 +168,15 @@ def test_create_train_model_gates_fused_to_inference():
     assert create_train_model(cfg_off).cfg.fused_blocks is False
 
 
-def test_unet_fused_grads_finite_and_close():
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_unet_fused_grads_finite_and_close(version):
     """Train-step-shaped gradient through the fused model ≈ XLA gradients."""
     from runet_tpu.config import ModelConfig
     from runet_tpu.models.unet3d import UNet3D, init_params
 
     mk = lambda fused: ModelConfig(
         num_classes=2, base_features=16, num_levels=2,
-        compute_dtype="float32", fused_blocks=fused,
+        compute_dtype="float32", fused_blocks=fused, fused_kernel=version,
     )
     model_x, model_f = UNet3D(mk(False)), UNet3D(mk(True))
     params = init_params(model_x, jax.random.key(1), (4, 8, 128))
@@ -223,3 +228,76 @@ def test_pick_tiles_rh_fallback_extends_feasibility():
     slab = 3 * (TD + 2) * (TH + 2) * 64 * 512 * 2
     col = 27 * 64 * RH * 512 * 2
     assert slab + col <= 10 * 1024 * 1024
+
+
+# --------------------------- v2 kernel (dchw) ---------------------------
+
+
+def _rand_case_v2(seed=0, D=4, H=8, C=16, Cout=16, W=128, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    xp = np.zeros((D + 2, C, H + 2, W), dtype)
+    xp[1:-1, :, 1:-1] = rng.normal(size=(D, C, H, W)).astype(dtype)
+    w = (rng.normal(size=(3, 3, 3, C, Cout)) * 0.2).astype(dtype)
+    return jnp.asarray(xp), jnp.asarray(w)
+
+
+def test_conv3x3_dchw_matches_reference():
+    xp, w = _rand_case_v2()
+    y, s, q = conv3x3_dchw(xp, w, True)
+    yr, sr, qr = reference_conv3x3_dchw(xp, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(sr), atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=1e-3, rtol=1e-5)
+
+
+def test_conv3x3_dchw_w_edges_zero_padded():
+    """v2's roll crosses H rows in the flattened lane dim; the SAME-padding
+    mask must still zero exactly the per-W-row wrapped lanes."""
+    D, H, C, W = 2, 8, 16, 128
+    xp = jnp.ones((D + 2, C, H + 2, W), jnp.float32)
+    w = jnp.ones((3, 3, 3, C, 16), jnp.float32)
+    y, _, _ = conv3x3_dchw(xp, w, True)
+    yr, _, _ = reference_conv3x3_dchw(xp, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), rtol=1e-6)
+    assert np.asarray(y)[1, 0, 4, 64] == pytest.approx(27 * C)
+    assert np.asarray(y)[1, 0, 4, 0] == pytest.approx(18 * C)
+    assert np.asarray(y)[1, 0, 4, W - 1] == pytest.approx(18 * C)
+
+
+def test_conv3x3_dchw_grads_match_reference():
+    xp, w = _rand_case_v2(seed=1, D=2, H=8, C=16, Cout=16)
+    gcoef = jnp.asarray(
+        np.random.default_rng(2).normal(size=(16,)).astype(np.float32)
+    )
+
+    def loss_fused(xp, w):
+        y, s, q = conv3x3_dchw(xp, w, True)
+        return jnp.sum(y**2) + jnp.sum(s * gcoef) + jnp.sum(q * gcoef**2)
+
+    def loss_ref(xp, w):
+        y, s, q = reference_conv3x3_dchw(xp, w)
+        return jnp.sum(y**2) + jnp.sum(s * gcoef) + jnp.sum(q * gcoef**2)
+
+    gx, gw = jax.grad(loss_fused, argnums=(0, 1))(xp, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(xp, w)
+    np.testing.assert_allclose(
+        np.asarray(gx)[1:-1, :, 1:-1], np.asarray(rx)[1:-1, :, 1:-1],
+        atol=1e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-2, rtol=1e-3)
+
+
+def test_conv_in_stats_dchw_batch_pads_channels():
+    """Non-multiple-of-16 channels are zero-padded exactly (v2 wrapper)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 20, 8, 128)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, 3, 20, 24)) * 0.2).astype(np.float32))
+    y, m, sq = conv_in_stats_dchw_batch(x, k, interpret=True)
+    assert y.shape == (2, 4, 24, 8, 128)
+    assert m.shape == sq.shape == (2, 24)
+    for b in range(2):
+        xp = jnp.pad(x[b], ((1, 1), (0, 0), (1, 1), (0, 0)))
+        yr, sr, qr = reference_conv3x3_dchw(xp, k)
+        np.testing.assert_allclose(np.asarray(y[b]), np.asarray(yr), atol=2e-5, rtol=1e-5)
+        n = 4 * 8 * 128
+        np.testing.assert_allclose(np.asarray(m[b]), np.asarray(sr) / n, atol=1e-5)
