@@ -372,8 +372,11 @@ def _conv3x3_dchw_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False)
     Dp, C, Hp, W = xp.shape
     D, H = Dp - 2, Hp - 2
     Cout = w.shape[-1]
-    if C % 16 or Cout % 16 or W % 128:
-        raise ValueError(f"need C%16==0, Cout%16==0, W%128==0; got C={C} Cout={Cout} W={W}")
+    # W%64: column slices land on 64-lane offsets — Mosaic expresses these
+    # as half-vreg windows (level-1 geometry W=64; measured viable, see
+    # KERNEL_BENCH.json). (RH·W)%128 is enforced by _pick_tiles_v2.
+    if C % 16 or Cout % 16 or W % 64:
+        raise ValueError(f"need C%16==0, Cout%16==0, W%64==0; got C={C} Cout={Cout} W={W}")
     TD, TH, RH = _pick_tiles_v2(D, H, C, W, xp.dtype.itemsize)
 
     # (kh, kw, Cout, 3C) with the K dim kd-major/c-minor — matches the
@@ -420,6 +423,100 @@ def _conv3x3_dchw_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False)
     )
 
 
+def _dw_kernel_v2(
+    xp, g_ref, dw_ref, slab, slabR, slabL, sem,
+    *, TD, TH, RH, W, C, nD, nH,
+):
+    """conv-bwd-weights in the v2 layout: dw[kd,kh,kw,ci,co] =
+    Σ_{d,h,w} xp[d+kd, ci, h+kh, w+kw-1] · g[d, co, h, w].
+
+    The xv tap views are IDENTICAL to the forward kernel's (same slab, same
+    W-shift slabs, same column slices); each tap contracts against the
+    output-block cotangent over the flattened RH·W lanes, accumulating
+    (3C, Cout) partials into one output block revisited by every grid step.
+    Measured (KERNEL_BENCH.json dw rows): 4.6 ms at level-0 vs 25.7 ms for
+    XLA's conv-bwd-weights correlation — XLA's own cost, not transposes:
+    pre-transposed NDHWC inputs measure the same 25.7 ms.
+    """
+    d_tile = pl.program_id(0)
+    h_tile = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        xp.at[pl.ds(d_tile * TD, TD + 2), :, pl.ds(h_tile * TH * W, (TH + 2) * W)],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    n_rows = (TD + 2) * C
+    HW = (TH + 2) * W
+    x2 = slab[:].reshape(n_rows, HW).astype(jnp.float32)
+    wmod = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (n_rows, HW), 1), W)
+    xr = jnp.where(wmod == 0, 0.0, pltpu.roll(x2, 1, axis=1))
+    xl = jnp.where(wmod == W - 1, 0.0, pltpu.roll(x2, HW - 1, axis=1))
+    slabR[:] = xr.reshape(slab.shape).astype(slab.dtype)
+    slabL[:] = xl.reshape(slab.shape).astype(slab.dtype)
+
+    @pl.when(jnp.logical_and(d_tile == 0, h_tile == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    n_h_blocks = TH // RH
+    slabs = (slabR, slab, slabL)
+    for d in range(TD):
+        for hb in range(n_h_blocks):
+            h0 = hb * RH
+            gv = g_ref[d, :, pl.ds(h0 * W, RH * W)]  # (Cout, RH·W)
+            for kh in range(3):
+                for kw in range(3):
+                    xv = slabs[kw][
+                        pl.ds(d, 3), :, pl.ds((h0 + kh) * W, RH * W)
+                    ].reshape(3 * C, RH * W)
+                    dw_ref[kh * 3 + kw] += jax.lax.dot_general(
+                        xv, gv, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_dchw_dw(xp: jnp.ndarray, g: jnp.ndarray, interpret: bool = False):
+    """Weight gradient for the v2 conv: (3, 3, 3, C, Cout) f32 from
+    xp (D+2, C, H+2, W) and the folded output cotangent g (D, Cout, H, W)."""
+    Dp, C, Hp, W = xp.shape
+    D, H = Dp - 2, Hp - 2
+    Cout = g.shape[1]
+    TD, TH, RH = _pick_tiles_v2(D, H, C, W, xp.dtype.itemsize)
+    nD, nH = D // TD, H // TH
+    kernel = partial(
+        _dw_kernel_v2, TD=TD, TH=TH, RH=RH, W=W, C=C, nD=nD, nH=nH
+    )
+    dw = pl.pallas_call(
+        kernel,
+        grid=(nD, nH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (TD, Cout, TH * W), lambda d, h: (d, 0, h), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (9, 3 * C, Cout), lambda d, h: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((9, 3 * C, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp.reshape(Dp, C, Hp * W), g.reshape(D, Cout, H * W))
+    # rows of the (3C,) dim are kd-major/c-minor (slab depth leading):
+    # (kh·3+kw, kd·C+c, co) → (kd, kh, kw, c, co)
+    return dw.reshape(3, 3, 3, C, Cout).transpose(2, 0, 1, 3, 4)
+
+
 def reference_conv3x3_dchw(xp, w):
     """XLA oracle with the v2 contract (same layout, same stats)."""
     # (D+2, C, H+2, W) → (1, D+2, H+2, W, C); VALID in D/H, SAME-by-pad in W.
@@ -464,8 +561,10 @@ def _cv2_bwd(interpret, res, cots):
     dxp = jnp.pad(
         dx_core.astype(xp.dtype), ((1, 1), (0, 0), (1, 1), (0, 0))
     )
-    _, vjp_fn = jax.vjp(lambda wv: reference_conv3x3_dchw(xp, wv)[0], w)
-    (dw,) = vjp_fn(g)
+    # dw via the Pallas tap-contraction kernel: 4.6 ms vs 25.7 ms for XLA's
+    # correlation at level-0 (KERNEL_BENCH.json) — the delta that flips the
+    # fused training step from losing to winning.
+    dw = conv3x3_dchw_dw(xp, g, interpret=interpret)
     return dxp, dw.astype(w.dtype)
 
 
@@ -501,28 +600,32 @@ def conv_in_stats_dchw_batch(x: jnp.ndarray, kernel: jnp.ndarray, interpret=None
 
 
 def fused_block_applicable(
-    ndhwc_shape: tuple[int, ...], features: int | None = None
+    ndhwc_shape: tuple[int, ...],
+    features: int | None = None,
+    version: str = "v2",
 ) -> bool:
-    """Can the fused (D, H, C, W) path run for this NDHWC activation?
+    """Can the fused path run for this NDHWC activation?
 
-    Channels are padded to 16 internally; beyond the W%128 / D / H gates the
-    kernel's VMEM tiling must be feasible (``_pick_tiles``) for BOTH convs of
-    the block — the first sees C=shape[-1], the second C=``features`` — so a
-    level-0 decoder at e.g. (160, 192, C=64, W=512) correctly falls back to
-    XLA instead of raising at trace time. Backend-gated so flag-enabled
-    configs still run (via the XLA path) on CPU test envs; FORCE_INTERPRET
-    lets tests exercise the fused path in interpret mode.
+    Channels are padded to 16 internally; beyond the lane-dim gate (v2:
+    W%64 — 64-offset column slices are half-vreg windows; v1: W%128) the
+    kernel's VMEM tiling must be feasible for BOTH convs of the block — the
+    first sees C=shape[-1], the second C=``features`` — so a level-0 decoder
+    at e.g. (160, 192, C=64, W=512) correctly falls back to XLA instead of
+    raising at trace time. Backend-gated so flag-enabled configs still run
+    (via the XLA path) on CPU test envs; FORCE_INTERPRET lets tests exercise
+    the fused path in interpret mode.
     """
     if len(ndhwc_shape) != 5:
         return False
     _, D, H, W, C = ndhwc_shape
-    if W % 128 or D % 2 or H % 8:
+    if W % (64 if version == "v2" else 128) or D % 2 or H % 8:
         return False
     if not (jax.default_backend() == "tpu" or FORCE_INTERPRET):
         return False
+    tiles = _pick_tiles_v2 if version == "v2" else _pick_tiles
     for c in {C, features if features is not None else C}:
         try:
-            _pick_tiles(D, H, _ceil16(int(c)), W, 2)  # bf16 itemsize
+            tiles(D, H, _ceil16(int(c)), W, 2)  # bf16 itemsize
         except ValueError:
             return False
     return True

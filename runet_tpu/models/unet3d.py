@@ -136,10 +136,14 @@ class EncoderBlock(nn.Module):
         cna1 = ConvNormAct(self.features, **kw)
         if self.downsample:
             x = cna0(x)  # strided: XLA
-            if self.fused_blocks and fused_block_applicable(x.shape, self.features):
+            if self.fused_blocks and fused_block_applicable(
+                x.shape, self.features, self.fused_kernel
+            ):
                 return _fused_pair(None, cna1, x, self.fused_kernel)
             return cna1(x)
-        if self.fused_blocks and fused_block_applicable(x.shape, self.features):
+        if self.fused_blocks and fused_block_applicable(
+            x.shape, self.features, self.fused_kernel
+        ):
             return _fused_pair(cna0, cna1, x, self.fused_kernel)
         x = cna0(x)
         x = cna1(x)
@@ -202,7 +206,9 @@ class DecoderBlock(nn.Module):
         cna1 = ConvNormAct(self.features, **kw)
         from runet_tpu.kernels.fused_block import fused_block_applicable
 
-        if self.fused_blocks and fused_block_applicable(x.shape, self.features):
+        if self.fused_blocks and fused_block_applicable(
+            x.shape, self.features, self.fused_kernel
+        ):
             return _fused_pair(cna0, cna1, x, self.fused_kernel)
         x = cna0(x)
         x = cna1(x)
@@ -211,6 +217,33 @@ class DecoderBlock(nn.Module):
 
 def level_features(cfg: ModelConfig) -> Sequence[int]:
     return [min(cfg.base_features * (2**i), cfg.max_features) for i in range(cfg.num_levels)]
+
+
+class _Head(nn.Module):
+    """Logits head: 1×1×1 conv expressed as a flat (B·D·H·W, C)×(C, K) dot
+    in f32. Parameter names ("kernel"/"bias") and shapes ((1,1,1,C,K)/(K,))
+    replicate ``nn.Conv(K, (1,1,1))`` so existing checkpoints load
+    unchanged; see UNet3D.__call__ for why this is not an nn.Conv."""
+
+    num_classes: int
+    param_dtype: object
+
+    @nn.compact
+    def __call__(self, x):  # (B, D, H, W, C) -> (B, D, H, W, K)
+        B, D, H, W, C = x.shape
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            (1, 1, 1, C, self.num_classes),
+            self.param_dtype,
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.num_classes,), self.param_dtype
+        )
+        xf = x.reshape(B * D * H * W, C).astype(jnp.float32)
+        y = xf @ k.reshape(C, self.num_classes).astype(jnp.float32)
+        y = y + b.astype(jnp.float32)
+        return y.reshape(B, D, H, W, self.num_classes)
 
 
 class UNet3D(nn.Module):
@@ -265,12 +298,17 @@ class UNet3D(nn.Module):
                 feats[lvl], upsample_mode=cfg.upsample_mode, name=f"dec{lvl}", **kw
             )(x, skips[lvl])
 
-        logits = nn.Conv(
-            cfg.num_classes,
-            kernel_size=(1, 1, 1),
-            dtype=jnp.float32,
-            param_dtype=param_dtype,
-        )(x.astype(jnp.float32))
+        # 1×1×1 head as an explicit flattened GEMM. With fused blocks in the
+        # graph, a (D,H,W)-shaped 1×1 conv inherits whatever exotic layout
+        # the block body settled on; XLA then pays whole-tensor T(1,128)
+        # layout copies, a degenerate conv emitter for the head, and a
+        # window={D,H,W} conv formulation of the head's weight gradient —
+        # ~75 ms of loss-side fusions at 128³ (profiled; the fused train
+        # step lost to XLA on exactly this). A reshape→dot head pins a
+        # canonical GEMM boundary and avoids conv emitters entirely. The
+        # param module/name/shapes replicate the previous
+        # nn.Conv(name="Conv_0") exactly, so checkpoints are stable.
+        logits = _Head(cfg.num_classes, param_dtype, name="Conv_0")(x)
         return logits
 
 
@@ -280,11 +318,12 @@ def create_model(cfg: ModelConfig) -> UNet3D:
 
 def create_train_model(cfg: ModelConfig) -> UNet3D:
     """Model variant for the training step. Shares the exact param tree with
-    ``create_model`` (checkpoint-stable, proven in tests/test_fused_block.py),
-    but drops the fused Pallas blocks unless ``fused_blocks_train`` opts in —
-    the fused custom_vjp loses to XLA's conv backward (measured 491 vs 300
-    ms/step at 128³ batch 1 on v5e; see ModelConfig.fused_blocks_train).
-    Inference/eval paths keep the fused forward, which wins (42 vs 62 ms)."""
+    ``create_model`` (checkpoint-stable, proven in tests/test_fused_block.py).
+    ``fused_blocks_train`` (default ON since round 3) keeps the fused Pallas
+    blocks in the step: the v2 custom_vjp (Pallas dx + Pallas dw
+    tap-contraction) measured 255 vs 343 ms/step XLA at 128³ batch 1 on v5e;
+    set it False to A/B the pure-XLA step (round-2 state, when dw was XLA's
+    correlation, measured the other way: 491 vs 300)."""
     import dataclasses
 
     if cfg.fused_blocks and not cfg.fused_blocks_train:

@@ -301,3 +301,23 @@ def test_conv_in_stats_dchw_batch_pads_channels():
         np.testing.assert_allclose(np.asarray(y[b]), np.asarray(yr), atol=2e-5, rtol=1e-5)
         n = 4 * 8 * 128
         np.testing.assert_allclose(np.asarray(m[b]), np.asarray(sr) / n, atol=1e-5)
+
+
+@pytest.mark.parametrize("dims", [(4, 16, 16, 24, 128), (2, 32, 8, 16, 64)])
+def test_conv3x3_dchw_dw_kernel_matches_oracle(dims):
+    """The dedicated dw kernel (tap contractions over RH·W lanes) must match
+    the vjp of the XLA oracle — including at W=64 half-vreg offsets and
+    rectangular C≠Cout."""
+    from runet_tpu.kernels.fused_block import conv3x3_dchw_dw
+
+    D, C, H, Cout, W = dims
+    rng = np.random.default_rng(7)
+    xp = np.zeros((D + 2, C, H + 2, W), np.float32)
+    xp[1:-1, :, 1:-1] = rng.normal(size=(D, C, H, W))
+    xp = jnp.asarray(xp)
+    g = jnp.asarray(rng.normal(size=(D, Cout, H, W)).astype(np.float32))
+    w0 = jnp.zeros((3, 3, 3, C, Cout), jnp.float32)
+    _, vjp_fn = jax.vjp(lambda wv: reference_conv3x3_dchw(xp, wv)[0], w0)
+    (ref,) = vjp_fn(g)
+    got = conv3x3_dchw_dw(xp, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-4)
