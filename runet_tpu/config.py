@@ -44,14 +44,18 @@ class ModelConfig:
     # (kernels/fused_block.py v2 section); "v1" = (D, H, C, W) im2col,
     # kept for A/B.
     fused_kernel: str = "v2"
-    # Use fused blocks inside the *training* step too. Default OFF: measured
-    # on v5e at 128³ batch 1, the fused custom_vjp regresses the train step
-    # (491 vs 300 ms/step) — dx re-runs the kernel on the cotangent and dw is
-    # a large-kernel XLA correlation, which together cost more than XLA's
-    # fused conv backward. Fused stays ON for inference (forward 42 vs 62 ms
-    # at level-0 geometry). Opt in for memory-bound regimes: fused+remat
-    # compiles batch-2 at 128³ where plain XLA+remat fails to compile.
-    fused_blocks_train: bool = False
+    # Use fused blocks inside the *training* step too. Default ON since the
+    # round-3 backward rework: the v2 custom_vjp runs dx as the same tap-GEMM
+    # kernel on the cotangent and dw as a dedicated Pallas tap-contraction
+    # (conv3x3_dchw_dw, 5.6 vs 25.7 ms for XLA's bwd-weights correlation at
+    # level-0), and the 1×1×1 logits head is an explicit GEMM so the fused
+    # blocks' layouts never leak into conv emitters. Measured on v5e at 128³
+    # batch 1 (same process, /tmp/ab_train.py protocol): fused 255 vs XLA
+    # 343 ms/step. Round-2 state for the record: the fused vjp LOST (491 vs
+    # 300) when dw fell back to XLA's correlation and the head was nn.Conv.
+    # Also: fused+remat compiles batch-2 at 128³ where plain XLA+remat
+    # fails to compile.
+    fused_blocks_train: bool = True
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Mesh axis name for spatial-partition inference (norm moments pmean'd
@@ -90,6 +94,12 @@ class TrainConfig:
     val_full_every: int = 0
     keep_checkpoints: int = 3
     augment: bool = True
+    # Elastic deformation (data/augment.py _rand_elastic): coarse-grid
+    # displacement field upsampled by MXU matmuls + one trilinear warp.
+    # Default OFF — the warp's gathers cost real step time and the
+    # flip/rot90/zoom/intensity set is the verified [DOMAIN] baseline;
+    # opt in per-experiment.
+    elastic: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

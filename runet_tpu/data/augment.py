@@ -52,7 +52,7 @@ def _zoom_axis(x, axis, W):
     n = x.shape[axis]
     moved = jnp.moveaxis(x, axis, 0).reshape(n, -1)
     out = jnp.dot(W, moved.astype(jnp.float32), preferred_element_type=jnp.float32)
-    new_shape = (n,) + tuple(s for a, s in enumerate(x.shape) if a != axis)
+    new_shape = (W.shape[0],) + tuple(s for a, s in enumerate(x.shape) if a != axis)
     return jnp.moveaxis(out.reshape(new_shape), 0, axis)
 
 
@@ -91,6 +91,61 @@ def _rand_rot90(key, img, lab):
     return img, lab
 
 
+@lru_cache(maxsize=32)
+def _field_upsample_matrix(n: int, g: int) -> np.ndarray:
+    """(n, g) linear-interpolation matrix from a g-point control grid whose
+    endpoints sit on the volume boundary. Static, so the elastic field
+    upsample is three small MXU matmuls (same formulation as _zoom_matrix_bank
+    / preprocess.resample — no gathers until the final warp)."""
+    out = np.zeros((n, g), np.float32)
+    rows = np.arange(n)
+    pos = rows * (g - 1) / (n - 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, g - 1)
+    i1 = np.minimum(i0 + 1, g - 1)
+    w = (pos - i0).astype(np.float32)
+    np.add.at(out, (rows, i0), 1.0 - w)
+    np.add.at(out, (rows, i1), w)
+    return out
+
+
+def _rand_elastic(key, img, lab, grid: int = 4, alpha: tuple[float, float] = (0.0, 8.0)):
+    """Elastic deformation (SURVEY.md §2.1 "possibly elastic/scale" [DOMAIN]).
+
+    TPU-first shape: sample a coarse (3, g, g, g) normal displacement field,
+    upsample it to full resolution with static per-axis interpolation
+    matrices (MXU matmuls — inherently smooth, replacing the reference
+    family's gaussian_filter over white noise), scale by a random amplitude
+    in voxels, and warp with ONE trilinear map_coordinates for the image and
+    a nearest (rounded-coordinate) variant for labels. The amplitude range
+    starts at 0 so the identity stays in-distribution; coordinates are
+    clamped to the volume (edge-replicate, matching the zoom's edge policy).
+    """
+    kf, ka = jax.random.split(key)
+    g = grid
+    field = jax.random.normal(kf, (3, g, g, g), jnp.float32)
+    amp = jax.random.uniform(ka, (), minval=alpha[0], maxval=alpha[1])
+    disp = field * amp
+    for axis in range(3):
+        M = jnp.asarray(_field_upsample_matrix(img.shape[axis], g))
+        disp = _zoom_axis(disp, axis + 1, M)
+    coords = [
+        jnp.clip(
+            jnp.arange(img.shape[a], dtype=jnp.float32).reshape(
+                [-1 if i == a else 1 for i in range(3)]
+            )
+            + disp[a],
+            0.0,
+            img.shape[a] - 1.0,
+        )
+        for a in range(3)
+    ]
+    img_w = jax.scipy.ndimage.map_coordinates(img, coords, order=1)
+    lab_w = jax.scipy.ndimage.map_coordinates(
+        lab, [jnp.round(c) for c in coords], order=0
+    )
+    return img_w, lab_w
+
+
 def _rand_intensity(key, img):
     k1, k2, k3 = jax.random.split(key, 3)
     scale = jax.random.uniform(k1, (), minval=0.9, maxval=1.1)
@@ -99,20 +154,22 @@ def _rand_intensity(key, img):
     return img * scale + shift + noise
 
 
-def augment_one(key, img, lab, zoom: bool = True):
+def augment_one(key, img, lab, zoom: bool = True, elastic: bool = False):
     """img: (X, Y, Z, C) float; lab: (X, Y, Z) int."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     img3, lab3 = img[..., 0], lab
     img3, lab3 = _rand_flip(k1, img3, lab3)
     img3, lab3 = _rand_rot90(k2, img3, lab3)
     if zoom:
         img3, lab3 = _rand_zoom(k4, img3, lab3)
+    if elastic:
+        img3, lab3 = _rand_elastic(k5, img3, lab3)
     img3 = _rand_intensity(k3, img3)
     return img3[..., None], lab3
 
 
-@partial(jax.jit, donate_argnums=(1, 2), static_argnames=("zoom",))
-def augment_batch(key, images, labels, zoom: bool = True):
+@partial(jax.jit, donate_argnums=(1, 2), static_argnames=("zoom", "elastic"))
+def augment_batch(key, images, labels, zoom: bool = True, elastic: bool = False):
     """images: (B, X, Y, Z, C); labels: (B, X, Y, Z)."""
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(partial(augment_one, zoom=zoom))(keys, images, labels)
+    return jax.vmap(partial(augment_one, zoom=zoom, elastic=elastic))(keys, images, labels)

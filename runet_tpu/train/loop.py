@@ -158,7 +158,9 @@ def train(
     logger = MetricsLogger(out_dir)
     logger.write_config(cfg.to_json())
 
-    train_step = make_train_step(step_model, augment=cfg.train.augment)
+    train_step = make_train_step(
+        step_model, augment=cfg.train.augment, elastic=cfg.train.elastic
+    )
     eval_step = make_eval_step(model, cfg.model.num_classes)
 
     # Each process samples only its LOCAL share of the global batch;

@@ -8,6 +8,8 @@ schedules with linear warmup; optax.MultiSteps for gradient accumulation
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -54,7 +56,12 @@ def create_train_state(model, params, cfg: TrainConfig) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
 
 
-def make_train_step(model, include_background_dice: bool = False, augment: bool = False):
+def make_train_step(
+    model,
+    include_background_dice: bool = False,
+    augment: bool = False,
+    elastic: bool = False,
+):
     """Single fused step: (augment→)fwd+bwd+update in ONE jitted program,
     with donated state. One device program per step matters doubly here:
     XLA fuses augmentation into the step, and each dispatch costs a fixed
@@ -89,7 +96,9 @@ def make_train_step(model, include_background_dice: bool = False, augment: bool 
         labels = jnp.minimum(labels, num_classes - 1)
         if augment:
             keys = jax.random.split(key, images.shape[0])
-            images, labels = jax.vmap(augment_one)(keys, images, labels)
+            images, labels = jax.vmap(
+                partial(augment_one, elastic=elastic)
+            )(keys, images, labels)
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
         gnorm = optax.global_norm(grads)
         state = state.apply_gradients(grads=grads)

@@ -1,6 +1,7 @@
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from runet_tpu.config import PreprocessConfig
 from runet_tpu.data.augment import augment_batch
@@ -128,6 +129,60 @@ def test_zoom_identity_factor_is_noop():
     lin, nst = _zoom_matrix_bank(16, (1.0,))
     np.testing.assert_array_equal(lin[0], np.eye(16, dtype=np.float32))
     np.testing.assert_array_equal(nst[0], np.eye(16, dtype=np.float32))
+
+
+def test_elastic_zero_amplitude_is_identity():
+    from runet_tpu.data.augment import _rand_elastic
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(12, 12, 12)).astype(np.float32)
+    lab = rng.integers(0, 3, size=(12, 12, 12)).astype(np.int32)
+    out_img, out_lab = _rand_elastic(jax.random.key(0), img, lab, alpha=(0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out_img), img, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_lab), lab)
+
+
+def test_elastic_matches_scipy_oracle():
+    """Fixed-amplitude elastic == scipy map_coordinates at the same
+    (reproducibly re-derived) displaced coordinates."""
+    from scipy.ndimage import map_coordinates as scipy_map
+
+    from runet_tpu.data.augment import _field_upsample_matrix, _rand_elastic
+
+    rng = np.random.default_rng(6)
+    n, g, a = 12, 4, 2.5
+    img = rng.normal(size=(n, n, n)).astype(np.float32)
+    lab = rng.integers(0, 4, size=(n, n, n)).astype(np.int32)
+    key = jax.random.key(3)
+    out_img, out_lab = _rand_elastic(key, img, lab, grid=g, alpha=(a, a))
+
+    # Re-derive the coordinates exactly as _rand_elastic does.
+    kf, _ = jax.random.split(key)
+    disp = np.asarray(jax.random.normal(kf, (3, g, g, g), jnp.float32)) * a
+    M = _field_upsample_matrix(n, g)
+    for axis in range(3):
+        disp = np.moveaxis(
+            np.tensordot(M, np.moveaxis(disp, axis + 1, 1), axes=(1, 1)), 0, axis + 1
+        )
+    base = np.arange(n, dtype=np.float32)
+    grids = np.meshgrid(base, base, base, indexing="ij")
+    coords = [np.clip(grids[i] + disp[i], 0, n - 1) for i in range(3)]
+    exp_img = scipy_map(img, coords, order=1)
+    np.testing.assert_allclose(np.asarray(out_img), exp_img, rtol=1e-4, atol=1e-4)
+    exp_lab = lab[tuple(np.round(c).astype(np.int64) for c in coords)]
+    np.testing.assert_array_equal(np.asarray(out_lab), exp_lab)
+
+
+def test_augment_batch_elastic_label_validity():
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(2, 16, 16, 16, 1)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(2, 16, 16, 16)).astype(np.int32)
+    out_img, out_lab = augment_batch(
+        jax.random.key(1), images.copy(), labels.copy(), elastic=True
+    )
+    assert out_img.shape == images.shape and out_lab.shape == labels.shape
+    assert set(np.unique(np.asarray(out_lab))) <= {0, 1, 2}
+    assert np.isfinite(np.asarray(out_img)).all()
 
 
 def test_augment_deterministic_given_key():
