@@ -5,6 +5,13 @@ v5e slice". This is the modern equivalent: ``shard_map`` over the ``data``
 mesh axis with explicit ``lax.pmean`` gradient reduction riding ICI. The
 GSPMD path (train/state.py) and this one are asserted to produce identical
 grads in tests/test_parallel.py (SURVEY.md §4.4).
+
+Since round 3 this is also the loop's multi-device step (train/loop.py):
+the fused Pallas blocks are ON in the training step by default, and a
+``pallas_call`` is an opaque custom call to the GSPMD partitioner — under
+``shard_map`` each device traces the kernel at its LOCAL shard shapes, so
+fused kernels, augmentation, and the gradient pmean compose without any
+partitioning rule for the custom call.
 """
 
 from __future__ import annotations
@@ -21,8 +28,27 @@ from runet_tpu.parallel.comm import data_axes
 from runet_tpu.train.losses import dice_ce_loss
 
 
-def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False):
-    """Returns a jitted step: (state, images(B,...), labels(B,...)) -> state, aux.
+def split_key_data(key, batch: int):
+    """Per-sample key material for the augmented dp step: raw ``uint32``
+    key data, shape (batch, key_size) — a plain array so it shards over the
+    data axis exactly like the batch (and survives the multi-process
+    ``make_array_from_process_local_data`` path, which ``np.asarray``-s its
+    input and so cannot carry typed PRNG keys). Matches
+    ``make_train_step``'s internal ``jax.random.split(key, B)`` draw for
+    draw, which the GSPMD/shard_map parity test relies on."""
+    return jax.random.key_data(jax.random.split(key, batch))
+
+
+def make_dp_train_step(
+    model,
+    mesh: Mesh,
+    include_background_dice: bool = False,
+    augment: bool = False,
+    elastic: bool = False,
+):
+    """Returns a jitted step: (state, images(B,...), labels(B,...)[, keys])
+    -> (state, aux). ``keys`` (required iff ``augment``) is the
+    ``split_key_data`` array, sharded like the batch.
 
     Per-device: local grads on the local batch shard; cross-device:
     ``pmean`` over the data axes — ``("data",)`` on the 1-D mesh or
@@ -30,6 +56,8 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
     is hierarchical (on-slice ICI first, then the small DCN hop); update
     applied identically everywhere (params stay replicated).
     """
+    from runet_tpu.data.augment import augment_one
+
     axes = data_axes(mesh)
 
     def loss_fn(params, images, labels):
@@ -37,19 +65,26 @@ def make_dp_train_step(model, mesh: Mesh, include_background_dice: bool = False)
         loss, aux = dice_ce_loss(logits, labels, include_background=include_background_dice)
         return loss, aux
 
+    in_specs = (P(), P(axes), P(axes)) + ((P(axes),) if augment else ())
+
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axes), P(axes)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def sharded_step(state, images, labels):
+    def sharded_step(state, images, labels, *maybe_keys):
         # Compact-transfer upcast + label-range clamp, same as train/state.py
         # (2-class coarse on multi-class GT binarizes; OOB gather NaNs on TPU).
         if images.dtype != jnp.float32:
             images = images.astype(jnp.float32)
         labels = jnp.minimum(labels.astype(jnp.int32), model.cfg.num_classes - 1)
+        if augment:
+            keys = jax.vmap(jax.random.wrap_key_data)(maybe_keys[0])
+            images, labels = jax.vmap(
+                partial(augment_one, elastic=elastic)
+            )(keys, images, labels)
         grads, aux = jax.grad(loss_fn, has_aux=True)(state.params, images, labels)
         grads = jax.lax.pmean(grads, axes)
         aux = jax.lax.pmean(aux, axes)

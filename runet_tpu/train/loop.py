@@ -21,6 +21,7 @@ from runet_tpu.data.pipeline import PatchLoader
 from runet_tpu.data.sampler import sample_batch
 from runet_tpu.models.unet3d import UNet3D, create_train_model, init_params
 from runet_tpu.parallel import comm
+from runet_tpu.parallel.dp import make_dp_train_step, split_key_data
 from runet_tpu.train.checkpoint import CheckpointManager
 from runet_tpu.train.metrics import MetricsLogger
 from runet_tpu.train.state import (
@@ -158,9 +159,19 @@ def train(
     logger = MetricsLogger(out_dir)
     logger.write_config(cfg.to_json())
 
-    train_step = make_train_step(
-        step_model, augment=cfg.train.augment, elastic=cfg.train.elastic
-    )
+    # Multi-device: the explicit shard_map step (parallel/dp.py) — each
+    # device traces at LOCAL shard shapes, so the fused Pallas blocks
+    # (opaque custom calls the GSPMD partitioner can't split) compose with
+    # DP. Single device: the plain jitted step. Proven grad-identical in
+    # tests/test_parallel.py.
+    if n_dev > 1:
+        train_step = make_dp_train_step(
+            step_model, mesh, augment=cfg.train.augment, elastic=cfg.train.elastic
+        )
+    else:
+        train_step = make_train_step(
+            step_model, augment=cfg.train.augment, elastic=cfg.train.elastic
+        )
     eval_step = make_eval_step(model, cfg.model.num_classes)
 
     # Each process samples only its LOCAL share of the global batch;
@@ -184,11 +195,24 @@ def train(
     try:
         for step in range(start_step, steps):
             images, labels = next(loader)
-            images, labels = comm.shard_batch(mesh, (images, labels))
             if cfg.train.augment:
                 akey = jax.random.fold_in(rng_key, step)
-                state, aux = train_step(state, images, labels, akey)
+                if n_dev > 1:
+                    # Per-sample key material as a batch-sharded array; this
+                    # process contributes its LOCAL slice of the global
+                    # split (same draws as the single-device step).
+                    kd = np.asarray(split_key_data(akey, batch))
+                    local = batch // n_proc
+                    kd = kd[jax.process_index() * local:][:local]
+                    images, labels, kd = comm.shard_batch(
+                        mesh, (images, labels, kd)
+                    )
+                    state, aux = train_step(state, images, labels, kd)
+                else:
+                    images, labels = comm.shard_batch(mesh, (images, labels))
+                    state, aux = train_step(state, images, labels, akey)
             else:
+                images, labels = comm.shard_batch(mesh, (images, labels))
                 state, aux = train_step(state, images, labels)
 
             if (step + 1) % log_every == 0 or step + 1 == steps:

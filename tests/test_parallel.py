@@ -100,6 +100,73 @@ def test_dp_on_hybrid_mesh_matches_single_device(setup):
     )
 
 
+def test_dp_augmented_step_matches_single_device(setup):
+    """The augmented dp step (per-sample key material sharded like the
+    batch) draws the SAME augmentations as the single-device step's
+    internal split — params match after one step."""
+    from runet_tpu.parallel.dp import split_key_data
+
+    cfg, tcfg, model, params, images, labels = setup
+    akey = jax.random.key(11)
+
+    state1 = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    step1 = make_train_step(model, augment=True)
+    state1, aux1 = step1(state1, jnp.asarray(images), jnp.asarray(labels), akey)
+
+    mesh = comm.make_mesh(8)
+    state8 = create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    state8 = comm.replicate(mesh, state8)
+    kd = np.asarray(split_key_data(akey, images.shape[0]))
+    im8, lab8, kd8 = comm.shard_batch(mesh, (images, labels, kd))
+    step8 = make_dp_train_step(model, mesh, augment=True)
+    state8, aux8 = step8(state8, im8, lab8, kd8)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state1.params),
+        jax.tree_util.tree_leaves(jax.device_get(state8.params)),
+    ):
+        # pmean reduction order differs from the single-device mean: tiny
+        # f32 drift on top of identical augmentation draws.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]), atol=1e-5)
+
+
+def test_dp_step_runs_fused_blocks_interpret():
+    """Fused Pallas blocks inside the shard_map dp step: each device traces
+    the kernel at LOCAL shard shapes (GSPMD cannot partition the custom
+    call — this composition is why the loop routes multi-device through
+    shard_map). Interpret mode on the fake mesh; geometry satisfies the v2
+    gates (W%64, D%2, H%8)."""
+    import runet_tpu.kernels.fused_block as fb
+
+    cfg = ModelConfig(
+        num_classes=2, base_features=16, num_levels=2, compute_dtype="float32",
+        fused_blocks=True, fused_blocks_train=True, fused_kernel="v2",
+    )
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=0, lr_schedule="const", weight_decay=0.0)
+    model = UNet3D(cfg)
+    patch = (4, 8, 64)
+    params = init_params(model, jax.random.key(0), patch)
+    rng = np.random.default_rng(1)
+    images = rng.normal(size=(2, *patch, 1)).astype(np.float32)
+    labels = (rng.uniform(size=(2, *patch)) < 0.3).astype(np.int32)
+
+    old = fb.FORCE_INTERPRET
+    fb.FORCE_INTERPRET = True
+    try:
+        assert fb.fused_block_applicable((1, *patch, 16), 16)
+        mesh = comm.make_mesh(2)
+        state = create_train_state(model, params, tcfg)
+        state = comm.replicate(mesh, state)
+        im, lab = comm.shard_batch(mesh, (images, labels))
+        step = make_dp_train_step(model, mesh)
+        state, aux = step(state, im, lab)
+        assert np.isfinite(float(aux["loss"]))
+        assert np.isfinite(float(aux["grad_norm"]))
+    finally:
+        fb.FORCE_INTERPRET = old
+
+
 def test_gspmd_jit_matches_shard_map(setup):
     cfg, tcfg, model, params, images, labels = setup
     mesh = comm.make_mesh(8)
