@@ -537,7 +537,8 @@ def reference_conv3x3_dchw(xp, w):
 def conv3x3_dchw(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
     """Differentiable v2 fused conv+stats in (D, C, H, W) layout; forward is
     the zero-copy Pallas kernel, dx re-runs it on the cotangent with
-    flipped/swapped weights, dw is XLA's correlation (as v1)."""
+    flipped/swapped weights, dw is the Pallas tap-contraction
+    (conv3x3_dchw_dw — 5.6 vs 25.7 ms for XLA's correlation at level-0)."""
     return _conv3x3_dchw_impl(xp, w, interpret=interpret)
 
 

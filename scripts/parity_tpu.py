@@ -58,6 +58,41 @@ def main() -> int:
         "pass": bool(y_err < 0.125 and s_err < 1e-2),  # bf16 ulp-scale
     }
 
+    # 1b. v2 kernel at the W=64 half-vreg gate + the dedicated Pallas dw
+    # kernel vs the XLA oracle's vjp — both compiled on the chip.
+    from runet_tpu.kernels.fused_block import (
+        conv3x3_dchw,
+        conv3x3_dchw_dw,
+        reference_conv3x3_dchw,
+    )
+
+    D2, C2, H2, Cout2, W2 = 16, 32, 16, 32, 64
+    xp2 = np.zeros((D2 + 2, C2, H2 + 2, W2), np.float32)
+    xp2[1:-1, :, 1:-1] = rng.normal(size=(D2, C2, H2, W2))
+    w2 = (rng.normal(size=(3, 3, 3, C2, Cout2)) * 0.1).astype(np.float32)
+    y2, s2, q2 = conv3x3_dchw(jnp.asarray(xp2, jnp.bfloat16), jnp.asarray(w2))
+    y2r, s2r, q2r = reference_conv3x3_dchw(jnp.asarray(xp2, jnp.bfloat16), jnp.asarray(w2))
+    y2_err = float(jnp.max(jnp.abs(y2.astype(jnp.float32) - y2r.astype(jnp.float32))))
+    g2 = jnp.asarray(rng.normal(size=(D2, Cout2, H2, W2)).astype(np.float32))
+    dw_pallas = conv3x3_dchw_dw(jnp.asarray(xp2), g2)
+    _, vjp_fn = jax.vjp(
+        lambda wv: reference_conv3x3_dchw(jnp.asarray(xp2), wv)[0], jnp.asarray(w2)
+    )
+    (dw_ref,) = vjp_fn(g2)
+    dw_err = float(
+        jnp.max(jnp.abs(dw_pallas - dw_ref)) / (jnp.max(jnp.abs(dw_ref)) + 1e-8)
+    )
+    results["checks"]["conv3x3_dchw_v2_w64_bf16"] = {
+        "geometry": [D2, C2, H2, Cout2, W2],
+        "max_abs_y_err": y2_err,
+        "pass": bool(y2_err < 0.125),
+    }
+    results["checks"]["conv3x3_dchw_dw_vs_xla_vjp_f32"] = {
+        "geometry": [D2, C2, H2, Cout2, W2],
+        "max_rel_dw_err": dw_err,
+        "pass": bool(dw_err < 1e-3),
+    }
+
     # 2. Model-level: fused blocks ON vs OFF, same params, compiled on TPU.
     import dataclasses
 

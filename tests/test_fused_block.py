@@ -152,18 +152,20 @@ def test_unet_fused_matches_xla_forward(version):
     )
 
 
-def test_create_train_model_gates_fused_to_inference():
-    """Fused Pallas blocks are inference-only by default (measured training
-    regression, ModelConfig.fused_blocks_train); opt-in re-enables them."""
+def test_create_train_model_fused_gating():
+    """Fused Pallas blocks are ON in the train step by default since round 3
+    (Pallas dw kernel flipped the A/B, ModelConfig.fused_blocks_train);
+    setting fused_blocks_train=False gates the step back to pure XLA."""
     from runet_tpu.config import ModelConfig
     from runet_tpu.models.unet3d import create_train_model
 
     import dataclasses
 
     cfg = ModelConfig(num_classes=2, fused_blocks=True)
-    assert create_train_model(cfg).cfg.fused_blocks is False
-    cfg_opt = dataclasses.replace(cfg, fused_blocks_train=True)
-    assert create_train_model(cfg_opt).cfg.fused_blocks is True
+    assert cfg.fused_blocks_train is True
+    assert create_train_model(cfg).cfg.fused_blocks is True
+    cfg_opt = dataclasses.replace(cfg, fused_blocks_train=False)
+    assert create_train_model(cfg_opt).cfg.fused_blocks is False
     cfg_off = dataclasses.replace(cfg, fused_blocks=False)
     assert create_train_model(cfg_off).cfg.fused_blocks is False
 
