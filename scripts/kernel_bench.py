@@ -86,8 +86,8 @@ def main():
         bench_geometry("fine_l0", 128, 128, 128, 32, 32),
         # coarse level-0 at the canonical grid (24-feature coarse net → C=24)
         bench_geometry("coarse_l0", 128, 128, 128, 32, 32, n=10),
-        # level-1 at the 128³ patch: W=64 — v1/v2 both gated out today
-        # (W%128); XLA row is the number the gate has to beat.
+        # level-1 at the 128³ patch: W=64 — covered by v2 since the W%64
+        # half-vreg gate (2.29 vs 3.05 ms XLA, KERNEL_BENCH.json).
         bench_geometry("fine_l1", 64, 64, 64, 64, 64),
         # level-0 decoder at a big ROI bucket shape
         bench_geometry("roi_l0", 160, 192, 256, 32, 32, n=10),
