@@ -82,3 +82,37 @@ def test_kits_composite():
     out = kits_composite_dice(jnp.asarray(pred), jnp.asarray(gt))
     assert float(out["kidney_composite"]) == 1.0
     assert float(out["tumor"]) == 1.0
+
+
+def test_dice_ce_matches_gather_reference():
+    """The one-pass gather-free dice_ce_loss (train/losses.py — the
+    take_along_axis CE measured 27.5 ms vs 1.9 ms at 128³ on v5e) must
+    match the textbook gather formulation on random tensors, values AND
+    gradients."""
+    import jax
+
+    from runet_tpu.train.losses import dice_ce_loss
+
+    def reference(logits, labels, smooth=1e-5):
+        logits = logits.astype(jnp.float32)
+        K = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)
+        ce = -jnp.mean(ll)
+        probs = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(labels, K, dtype=jnp.float32)
+        axes = tuple(range(1, labels.ndim))
+        inter = jnp.sum(probs * onehot, axis=axes)
+        denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+        dice = (2.0 * inter + smooth) / (denom + smooth)
+        return 1.0 - jnp.mean(dice[:, 1:]) + ce
+
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.normal(size=(2, 6, 5, 4, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, size=(2, 6, 5, 4)).astype(np.int32))
+    l_new, _ = dice_ce_loss(logits, labels)
+    l_ref = reference(logits, labels)
+    np.testing.assert_allclose(float(l_new), float(l_ref), rtol=1e-6)
+    g_new = jax.grad(lambda lg: dice_ce_loss(lg, labels)[0])(logits)
+    g_ref = jax.grad(lambda lg: reference(lg, labels))(logits)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-7)
