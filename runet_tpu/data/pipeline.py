@@ -32,12 +32,22 @@ class PatchLoader:
         prefetch: int = 2,
         sharding=None,
         compact_transfer: bool = True,
+        put_fn=None,
     ):
         self.cases = cases
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.fg_prob = fg_prob
         self.sharding = sharding
+        # Host→device transfer runs on the PREFETCH thread (put_fn, or
+        # device_put with `sharding`): a consumer-side device_put blocks the
+        # main thread ~10 ms/step through the tunnel before it can dispatch
+        # the step (measured 189.6 vs 180.1 ms/step at 128³ b1 compact) —
+        # issuing it from the worker overlaps the transfer with the previous
+        # step's compute. put_fn, when given, maps the HOST batch tree to
+        # device arrays on the worker thread (e.g. comm.shard_batch for a
+        # data-parallel mesh).
+        self.put_fn = put_fn
         # Halve+ host→device bytes per step: z-scored HU patches are exact
         # enough in f16 (the model computes in bf16 anyway) and labels fit
         # uint8; the jitted step upcasts on device (train/state.py). At 128³
@@ -59,6 +69,12 @@ class PatchLoader:
                 self._rng, self.cases, self.batch_size, self.patch_size,
                 self.fg_prob, image_dtype=image_dtype, label_dtype=label_dtype,
             )
+            if self.put_fn is not None:
+                batch = self.put_fn(batch)
+            elif self.sharding is not None:
+                batch = tuple(jax.device_put(x, self.sharding) for x in batch)
+            else:
+                batch = tuple(jax.device_put(x) for x in batch)
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.1)
@@ -70,14 +86,8 @@ class PatchLoader:
         return self
 
     def __next__(self):
-        images, labels = self._q.get()
-        if self.sharding is not None:
-            images = jax.device_put(images, self.sharding)
-            labels = jax.device_put(labels, self.sharding)
-        else:
-            images = jax.device_put(images)
-            labels = jax.device_put(labels)
-        return images, labels
+        # Batches arrive already device-resident (worker-thread put).
+        return self._q.get()
 
     def close(self):
         self._stop.set()

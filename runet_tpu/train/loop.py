@@ -187,14 +187,17 @@ def train(
         fg_prob=cfg.train.fg_prob,
         # Decorrelate patch draws across hosts.
         seed=cfg.train.seed + jax.process_index(),
-        sharding=None,  # comm.shard_batch applies the shardings per step
+        # Sharded host→device transfer happens on the PREFETCH thread so it
+        # overlaps the previous step's compute (a consumer-side put blocks
+        # step dispatch ~10 ms through the tunnel; data/pipeline.py).
+        put_fn=lambda t: comm.shard_batch(mesh, t),
     )
 
     aux = {}
     t_last = time.monotonic()
     try:
         for step in range(start_step, steps):
-            images, labels = next(loader)
+            images, labels = next(loader)  # already batch-sharded on device
             if cfg.train.augment:
                 akey = jax.random.fold_in(rng_key, step)
                 if n_dev > 1:
@@ -204,15 +207,11 @@ def train(
                     kd = np.asarray(split_key_data(akey, batch))
                     local = batch // n_proc
                     kd = kd[jax.process_index() * local:][:local]
-                    images, labels, kd = comm.shard_batch(
-                        mesh, (images, labels, kd)
-                    )
+                    (kd,) = comm.shard_batch(mesh, (kd,))
                     state, aux = train_step(state, images, labels, kd)
                 else:
-                    images, labels = comm.shard_batch(mesh, (images, labels))
                     state, aux = train_step(state, images, labels, akey)
             else:
-                images, labels = comm.shard_batch(mesh, (images, labels))
                 state, aux = train_step(state, images, labels)
 
             if (step + 1) % log_every == 0 or step + 1 == steps:
