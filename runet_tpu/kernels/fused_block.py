@@ -374,7 +374,9 @@ def _conv3x3_dchw_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False)
     Cout = w.shape[-1]
     # W%64: column slices land on 64-lane offsets — Mosaic expresses these
     # as half-vreg windows (level-1 geometry W=64; measured viable, see
-    # KERNEL_BENCH.json). (RH·W)%128 is enforced by _pick_tiles_v2.
+    # KERNEL_BENCH.json). W=32 measured NOT viable (Mosaic compile failure
+    # on 32-offset slices / 576-lane slabs); deep levels use the v3
+    # channels-on-lanes kernel instead. (RH·W)%128 via _pick_tiles_v2.
     if C % 16 or Cout % 16 or W % 64:
         raise ValueError(f"need C%16==0, Cout%16==0, W%64==0; got C={C} Cout={Cout} W={W}")
     TD, TH, RH = _pick_tiles_v2(D, H, C, W, xp.dtype.itemsize)

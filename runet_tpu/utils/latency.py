@@ -49,6 +49,38 @@ def chained_ms(fn, args: tuple, n: int = 20, warmup: int = 2) -> float:
     return (time.monotonic() - t0) / n * 1000.0
 
 
+def scanned_ms(step, x0, iters: int = 30, reps: int = 3) -> float:
+    """Device-loop timing: min per-iteration ms of ``step`` (x -> x) chained
+    ``iters`` times inside ONE jitted ``lax.scan``.
+
+    ``chained_ms`` amortizes the tunnel RTT but still pays per-call host
+    dispatch (~1 ms/call through the tunnel) — sub-millisecond kernels are
+    invisible to it: at level-2 U-Net geometry it reported 3.2 ms for an XLA
+    conv whose true device time is 0.73 ms (round 3, KERNEL_BENCH.json
+    protocol note). The scan keeps the whole chain on device, so dispatch is
+    paid once per ``reps`` and the per-iteration quotient is device time.
+    ``step`` must be shape-preserving and data-dependent on its input so XLA
+    cannot parallelize or DCE iterations; fold auxiliary outputs into the
+    carry (e.g. ``y + (s * 0).astype(y.dtype)``) to keep them live.
+    """
+    import jax
+
+    @jax.jit
+    def chain(x):
+        y, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None, length=iters)
+        return y
+
+    y = chain(x0)
+    np.asarray(y.ravel()[0])  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        y = chain(x0)
+        np.asarray(y.ravel()[0])
+        best = min(best, (time.monotonic() - t0) * 1000.0 / iters)
+    return best
+
+
 def _force(out) -> None:
     import jax
 

@@ -1,19 +1,27 @@
 """Fused-block kernel A/B on the real chip (VERDICT r2 item 2; BASELINE
-north star). Measures, at the production geometries, per-call ms and TF/s of
+north star). Measures, at the production geometries, per-call DEVICE ms and
+TF/s of
 
 - XLA `conv_general_dilated` pair (the fallback path, NDHWC),
-- v1 fused kernel: (D, H, C, W) im2col + per-h-block col copies,
-- v2 fused kernel: (D, C, H, W) zero-copy tap GEMMs,
+- v1 fused kernel: (D, H, C, W) im2col + per-h-block col copies (attic'd
+  comparison, level-0 shapes only),
+- v2 fused kernel: (D, C, H, W) zero-copy tap GEMMs (the production path),
+- v3 deep-level experiment: channels-on-lanes NDHWC (attic; measured
+  non-win at levels >=2 — see kernels/attic/conv_v3_deep.py),
 
-each as the bare conv+stats primitive (one conv of a block). Writes
-KERNEL_BENCH.json at the repo root. Run on the TPU host:
+each as the bare conv+stats primitive (one conv of a block). Protocol:
+``utils/latency.py::scanned_ms`` — a device-resident lax.scan chain, because
+chained host dispatch floors at ~1 ms/call through the tunnel and inflated
+sub-ms kernels 3-4x in the round-2 artifact (the v1/v2 step->step pad making
+the chain shape-preserving adds a small constant, so fused rows are slight
+UNDERestimates of the win). Writes KERNEL_BENCH.json at the repo root. Run
+on the TPU host:
 
     python scripts/kernel_bench.py
 """
 
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -29,8 +37,9 @@ import numpy as np  # noqa: E402
 from runet_tpu.kernels.fused_block import (  # noqa: E402
     _conv3x3_dchw_impl,
     _conv3x3_dhcw_impl,
+    conv3x3_dchw_dw,
 )
-from runet_tpu.utils.latency import chained_ms  # noqa: E402
+from runet_tpu.utils.latency import scanned_ms  # noqa: E402
 
 
 def conv_flops(D, H, W, C, Cout):
@@ -48,33 +57,95 @@ def xla_conv_stats(x, w):
     return y, jnp.sum(yf, axis=(0, 1, 2, 3)), jnp.sum(yf * yf, axis=(0, 1, 2, 3))
 
 
-def bench_geometry(name, D, H, W, C, Cout, dtype=jnp.bfloat16, n=20):
+def _time(step, x0, fl, iters=30):
+    ms = scanned_ms(step, x0, iters=iters)
+    return round(ms, 3), round(fl / (ms / 1e3) / 1e12, 1)
+
+
+def bench_geometry(name, D, H, W, C, Cout, dtype=jnp.bfloat16, iters=30,
+                   v3=False):
+    assert C == Cout, "scan protocol feeds y back as x"
     rng = np.random.default_rng(0)
     fl = conv_flops(D, H, W, C, Cout)
     row = {"name": name, "D": D, "H": H, "W": W, "C": C, "Cout": Cout,
            "gflop": round(fl / 1e9, 1)}
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Cout)) * 0.05, dtype)
 
-    x_ndhwc = jnp.asarray(rng.normal(size=(1, D, H, W, C)), dtype)
-    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Cout)) * 0.1, dtype)
-    ms = chained_ms(xla_conv_stats, (x_ndhwc, w), n=n)
-    row["xla_ms"] = round(ms, 2)
-    row["xla_tflops"] = round(fl / (ms / 1e3) / 1e12, 1)
+    x = jnp.asarray(rng.normal(size=(D, H, W, C)), dtype)
 
-    if W % 128 == 0 and C % 16 == 0 and Cout % 16 == 0:
+    def xla_step(xx):
+        y, s, q = xla_conv_stats(xx[None], w)
+        return y[0] + (s * 0 + q * 0).astype(y.dtype)[None, None, :]
+
+    row["xla_ms"], row["xla_tflops"] = _time(xla_step, x, fl, iters)
+
+    if W % 128 == 0 and C % 16 == 0:
         xp1 = jnp.asarray(rng.normal(size=(D + 2, H + 2, C, W)), dtype)
+
+        def v1_step(xx):
+            y, s, q = _conv3x3_dhcw_impl(xx, w)
+            y = y + (s * 0 + q * 0).astype(y.dtype)[None, None, :, None]
+            return jnp.pad(y, ((1, 1), (1, 1), (0, 0), (0, 0)))
+
         try:
-            ms = chained_ms(lambda a, b: _conv3x3_dhcw_impl(a, b), (xp1, w), n=n)
-            row["v1_ms"] = round(ms, 2)
-            row["v1_tflops"] = round(fl / (ms / 1e3) / 1e12, 1)
+            row["v1_ms"], row["v1_tflops"] = _time(v1_step, xp1, fl, iters)
         except Exception as e:  # infeasible tiling etc.
             row["v1_error"] = str(e)[:120]
+    if W % 64 == 0 and C % 16 == 0:
         xp2 = jnp.asarray(rng.normal(size=(D + 2, C, H + 2, W)), dtype)
+
+        def v2_step(xx):
+            y, s, q = _conv3x3_dchw_impl(xx, w)
+            y = y + (s * 0 + q * 0).astype(y.dtype)[None, :, None, None]
+            return jnp.pad(y, ((1, 1), (0, 0), (1, 1), (0, 0)))
+
         try:
-            ms = chained_ms(lambda a, b: _conv3x3_dchw_impl(a, b), (xp2, w), n=n)
-            row["v2_ms"] = round(ms, 2)
-            row["v2_tflops"] = round(fl / (ms / 1e3) / 1e12, 1)
+            row["v2_ms"], row["v2_tflops"] = _time(v2_step, xp2, fl, iters)
         except Exception as e:
             row["v2_error"] = str(e)[:120]
+    if v3:
+        from runet_tpu.kernels.attic.conv_v3_deep import conv3x3_v3
+
+        def v3_step(xx):
+            y, s, q = conv3x3_v3(xx, w)
+            return y + (s * 0 + q * 0).astype(y.dtype)[None, None, :]
+
+        try:
+            row["v3_ms"], row["v3_tflops"] = _time(v3_step, x, fl, iters)
+        except Exception as e:
+            row["v3_error"] = str(e)[:120]
+    print(row, flush=True)
+    return row
+
+
+def bench_dw(name, D, H, W, C, Cout, dtype=jnp.bfloat16, iters=30):
+    """conv-bwd-weights: XLA's correlation vs the Pallas tap-contraction."""
+    rng = np.random.default_rng(1)
+    fl = conv_flops(D, H, W, C, Cout)
+    row = {"name": name, "D": D, "H": H, "W": W, "C": C, "Cout": Cout,
+           "gflop": round(fl / 1e9, 1), "kind": "dw"}
+    xp = jnp.asarray(rng.normal(size=(D + 2, C, H + 2, W)), dtype)
+
+    def pallas_dw_step(xx):
+        g = xx[1:-1, :Cout, 1:-1, :]
+        dw = conv3x3_dchw_dw(xx, g)
+        return xx + jnp.sum(dw).astype(xx.dtype) * 0
+
+    row["pallas_ms"], row["pallas_tflops"] = _time(pallas_dw_step, xp, fl, iters)
+
+    x_n = jnp.asarray(rng.normal(size=(1, D, H, W, C)), dtype)
+
+    def xla_dw_step(xx):
+        g = xx[:, :, :, :, :Cout]
+        _, vjp_fn = jax.vjp(
+            lambda wv: jax.lax.conv_general_dilated(
+                xx, wv, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")),
+            jnp.zeros((3, 3, 3, C, Cout), dtype))
+        (dw,) = vjp_fn(g)
+        return xx + jnp.sum(dw).astype(xx.dtype) * 0
+
+    row["xla_ms"], row["xla_tflops"] = _time(xla_dw_step, x_n, fl, iters)
     print(row, flush=True)
     return row
 
@@ -84,16 +155,27 @@ def main():
     rows = [
         # level-0 second conv at the fine 128³ patch (the hot shape)
         bench_geometry("fine_l0", 128, 128, 128, 32, 32),
-        # coarse level-0 at the canonical grid (24-feature coarse net → C=24)
-        bench_geometry("coarse_l0", 128, 128, 128, 32, 32, n=10),
-        # level-1 at the 128³ patch: W=64 — covered by v2 since the W%64
-        # half-vreg gate (2.29 vs 3.05 ms XLA, KERNEL_BENCH.json).
+        # level-1 at the 128³ patch: W=64 — v2's half-vreg gate
         bench_geometry("fine_l1", 64, 64, 64, 64, 64),
+        # levels >=2: C>=128 fills the MXU contraction dim — XLA adequate,
+        # v3 experiment documented in kernels/attic/conv_v3_deep.py
+        bench_geometry("fine_l2", 32, 32, 32, 128, 128, v3=True),
+        bench_geometry("fine_l3", 16, 16, 16, 256, 256, v3=True),
         # level-0 decoder at a big ROI bucket shape
-        bench_geometry("roi_l0", 160, 192, 256, 32, 32, n=10),
+        bench_geometry("roi_l0", 160, 192, 256, 32, 32, iters=10),
+        # bwd-weights at the hot shapes (the delta that flipped the fused
+        # train step from losing to winning, round 3)
+        bench_dw("dw_l0", 128, 128, 128, 32, 32),
+        bench_dw("dw_l1", 64, 64, 64, 64, 64),
     ]
     out = {"device": str(dev), "rows": rows,
-           "protocol": "chained_ms n=10-20 (one sync per chain), bf16"}
+           "protocol": ("scanned_ms: device-resident lax.scan chain, 30 "
+                        "iters, min of 3; bf16. Host-dispatch chains "
+                        "(chained_ms) floor at ~1 ms/call and OVERSTATE "
+                        "sub-ms rows 3-4x — do not compare against round-2 "
+                        "artifacts. v1/v2/dw rows include a per-iter re-pad "
+                        "to keep the scan shape-preserving (slight "
+                        "underestimate of the fused win).")}
     Path(__file__).resolve().parent.parent.joinpath("KERNEL_BENCH.json").write_text(
         json.dumps(out, indent=2) + "\n"
     )

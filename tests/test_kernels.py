@@ -33,6 +33,27 @@ def test_fused_norm_parity(shape, dtype):
     )
 
 
+@pytest.mark.parametrize("shape,td", [((8, 6, 10, 16), 4), ((4, 5, 7, 32), 2)])
+def test_v3_deep_parity(shape, td):
+    """v3 channels-on-lanes deep-level conv (attic/conv_v3_deep.py): parity
+    of the padded-flattened tap-view formulation vs the NDHWC oracle,
+    including the inter-plane filler-row masking and the Σy/Σy² stats."""
+    from runet_tpu.kernels.attic.conv_v3_deep import (
+        conv3x3_v3,
+        reference_conv3x3_ndhwc,
+    )
+
+    rng = np.random.default_rng(2)
+    D, H, W, C = shape
+    x = jnp.asarray(rng.normal(size=(D, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, C, C)) * 0.1, jnp.float32)
+    y, s, q = conv3x3_v3(x, w, interpret=True, TD=td, BM=64)
+    yr, sr, qr = reference_conv3x3_ndhwc(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(sr), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), rtol=1e-4)
+
+
 def test_fused_norm_matches_module_oracle():
     # Same semantics as models/norm.py InstanceNorm (affine).
     from runet_tpu.models.norm import InstanceNorm
