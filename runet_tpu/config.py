@@ -83,6 +83,12 @@ class TrainConfig:
     lr_schedule: str = "poly"  # poly | cosine | const
     poly_power: float = 0.9
     grad_accum: int = 1
+    # Micro-steps fused into ONE device dispatch (lax.scan in the jitted
+    # step; train/state.py make_multi_train_step). Amortizes per-dispatch
+    # host overhead through the tunnel. log_every/val_every/ckpt_every/
+    # val_full_every must be multiples of it (train/loop.py validates);
+    # 1 = classic one-dispatch-per-step.
+    steps_per_dispatch: int = 1
     seed: int = 0
     ckpt_every: int = 1000
     val_every: int = 1000

@@ -33,6 +33,7 @@ class PatchLoader:
         sharding=None,
         compact_transfer: bool = True,
         put_fn=None,
+        stack_steps: int = 1,
     ):
         self.cases = cases
         self.batch_size = batch_size
@@ -48,6 +49,12 @@ class PatchLoader:
         # device arrays on the worker thread (e.g. comm.shard_batch for a
         # data-parallel mesh).
         self.put_fn = put_fn
+        # stack_steps > 1: each queue item is a (K, B, ...) superbatch of K
+        # consecutive micro-batches, consumed by the multi-step-per-dispatch
+        # train path (train/state.py make_multi_train_step). The caller's
+        # put_fn must shard axis 1 in that case (comm.shard_batch
+        # batch_axis=1).
+        self.stack_steps = stack_steps
         # Halve+ host→device bytes per step: z-scored HU patches are exact
         # enough in f16 (the model computes in bf16 anyway) and labels fit
         # uint8; the jitted step upcasts on device (train/state.py). At 128³
@@ -65,10 +72,23 @@ class PatchLoader:
         while not self._stop.is_set():
             # Dtype conversion happens inside the sampler's single-copy
             # write — no separate astype pass on the 1-core host.
-            batch = sample_batch(
-                self._rng, self.cases, self.batch_size, self.patch_size,
-                self.fg_prob, image_dtype=image_dtype, label_dtype=label_dtype,
-            )
+            if self.stack_steps > 1:
+                parts = [
+                    sample_batch(
+                        self._rng, self.cases, self.batch_size,
+                        self.patch_size, self.fg_prob,
+                        image_dtype=image_dtype, label_dtype=label_dtype,
+                    )
+                    for _ in range(self.stack_steps)
+                ]
+                batch = tuple(
+                    np.stack([p[j] for p in parts]) for j in range(len(parts[0]))
+                )
+            else:
+                batch = sample_batch(
+                    self._rng, self.cases, self.batch_size, self.patch_size,
+                    self.fg_prob, image_dtype=image_dtype, label_dtype=label_dtype,
+                )
             if self.put_fn is not None:
                 batch = self.put_fn(batch)
             elif self.sharding is not None:

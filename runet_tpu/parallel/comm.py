@@ -134,21 +134,28 @@ def data_axes(mesh: Mesh) -> tuple[str, ...]:
     raise ValueError(f"mesh axes {names} have no data-parallel axis")
 
 
-def batch_spec(mesh: Mesh, ndim: int) -> P:
-    """PartitionSpec sharding the leading (batch) dim over the data axes."""
-    return P(data_axes(mesh), *([None] * (ndim - 1)))
+def batch_spec(mesh: Mesh, ndim: int, batch_axis: int = 0) -> P:
+    """PartitionSpec sharding the batch dim over the data axes.
+
+    ``batch_axis=1`` serves (steps, batch, ...) superbatches for the
+    multi-step-per-dispatch train path (train/state.py
+    ``make_multi_train_step``): the scan consumes axis 0, the batch shards
+    over the mesh on axis 1."""
+    spec = [None] * ndim
+    spec[batch_axis] = data_axes(mesh)
+    return P(*spec)
 
 
-def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard leading (batch) dim over the data axes, replicate the rest."""
-    return NamedSharding(mesh, batch_spec(mesh, ndim))
+def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
+    """Shard the batch dim over the data axes, replicate the rest."""
+    return NamedSharding(mesh, batch_spec(mesh, ndim, batch_axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree):
+def shard_batch(mesh: Mesh, tree, batch_axis: int = 0):
     """device_put a pytree of host arrays with batch-dim sharding.
 
     Multi-process: each host passes its PROCESS-LOCAL batch shard (global
@@ -158,12 +165,13 @@ def shard_batch(mesh: Mesh, tree):
     if jax.process_count() > 1:
 
         def put(x):
-            sh = batch_sharding(mesh, np.ndim(x))
+            sh = batch_sharding(mesh, np.ndim(x), batch_axis)
             return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
         return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x), batch_axis)),
+        tree,
     )
 
 

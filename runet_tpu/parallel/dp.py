@@ -39,23 +39,15 @@ def split_key_data(key, batch: int):
     return jax.random.key_data(jax.random.split(key, batch))
 
 
-def make_dp_train_step(
+def _sharded_step_fn(
     model,
     mesh: Mesh,
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
 ):
-    """Returns a jitted step: (state, images(B,...), labels(B,...)[, keys])
-    -> (state, aux). ``keys`` (required iff ``augment``) is the
-    ``split_key_data`` array, sharded like the batch.
-
-    Per-device: local grads on the local batch shard; cross-device:
-    ``pmean`` over the data axes — ``("data",)`` on the 1-D mesh or
-    ``("dcn", "ici")`` on the multi-host hybrid mesh, where the reduction
-    is hierarchical (on-slice ICI first, then the small DCN hop); update
-    applied identically everywhere (params stay replicated).
-    """
+    """Raw shard_map step shared by ``make_dp_train_step`` (one dispatch per
+    step) and ``make_dp_multi_train_step`` (scan of K steps per dispatch)."""
     from runet_tpu.data.augment import augment_one
 
     axes = data_axes(mesh)
@@ -92,4 +84,60 @@ def make_dp_train_step(
         state = state.apply_gradients(grads=grads)
         return state, dict(aux, grad_norm=gnorm)
 
+    return sharded_step
+
+
+def make_dp_train_step(
+    model,
+    mesh: Mesh,
+    include_background_dice: bool = False,
+    augment: bool = False,
+    elastic: bool = False,
+):
+    """Returns a jitted step: (state, images(B,...), labels(B,...)[, keys])
+    -> (state, aux). ``keys`` (required iff ``augment``) is the
+    ``split_key_data`` array, sharded like the batch.
+
+    Per-device: local grads on the local batch shard; cross-device:
+    ``pmean`` over the data axes — ``("data",)`` on the 1-D mesh or
+    ``("dcn", "ici")`` on the multi-host hybrid mesh, where the reduction
+    is hierarchical (on-slice ICI first, then the small DCN hop); update
+    applied identically everywhere (params stay replicated).
+    """
+    sharded_step = _sharded_step_fn(
+        model, mesh, include_background_dice, augment, elastic
+    )
     return jax.jit(sharded_step, donate_argnums=(0,))
+
+
+def make_dp_multi_train_step(
+    model,
+    mesh: Mesh,
+    k: int,
+    include_background_dice: bool = False,
+    augment: bool = False,
+    elastic: bool = False,
+):
+    """K shard_map micro-steps in ONE dispatch (``lax.scan`` outside the
+    shard_map; see train/state.py ``make_multi_train_step`` for why).
+
+    Signature: ``(state, images (K,B,...), labels (K,B,...)[, keys (K,B,key)])
+    -> (state, aux)`` with the superbatch sharded on axis 1
+    (``comm.shard_batch(..., batch_axis=1)``); ``keys`` stacks the per-step
+    ``split_key_data`` arrays, so the chunk reproduces K single dp steps
+    draw-for-draw. ``aux`` scalars are chunk means.
+    """
+    sharded_step = _sharded_step_fn(
+        model, mesh, include_background_dice, augment, elastic
+    )
+
+    def multi(state, images, labels, *maybe_keys):
+        xs = (images, labels) + maybe_keys
+
+        def body(s, x):
+            return sharded_step(s, *x)
+
+        state, auxs = jax.lax.scan(body, state, xs)
+        return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, 0), auxs)
+
+    return jax.jit(multi, donate_argnums=(0,))

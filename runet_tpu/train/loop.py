@@ -21,12 +21,17 @@ from runet_tpu.data.pipeline import PatchLoader
 from runet_tpu.data.sampler import sample_batch
 from runet_tpu.models.unet3d import UNet3D, create_train_model, init_params
 from runet_tpu.parallel import comm
-from runet_tpu.parallel.dp import make_dp_train_step, split_key_data
+from runet_tpu.parallel.dp import (
+    make_dp_multi_train_step,
+    make_dp_train_step,
+    split_key_data,
+)
 from runet_tpu.train.checkpoint import CheckpointManager
 from runet_tpu.train.metrics import MetricsLogger
 from runet_tpu.train.state import (
     create_train_state,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
 )
 
@@ -164,14 +169,42 @@ def train(
     # (opaque custom calls the GSPMD partitioner can't split) compose with
     # DP. Single device: the plain jitted step. Proven grad-identical in
     # tests/test_parallel.py.
+    K = max(1, cfg.train.steps_per_dispatch)
+    if K > 1:
+        intervals = {
+            "log_every": log_every,
+            "val_every": cfg.train.val_every,
+            "ckpt_every": cfg.train.ckpt_every,
+        }
+        if cfg.train.val_full_every:
+            intervals["val_full_every"] = cfg.train.val_full_every
+        bad = {n: v for n, v in intervals.items() if v % K}
+        if bad:
+            # Events trigger on (step+1) % every == 0; a chunk only stops at
+            # multiples of K, so misaligned intervals would silently skip
+            # their events.
+            raise ValueError(
+                f"steps_per_dispatch={K} requires intervals divisible by it; "
+                f"got {bad}"
+            )
     if n_dev > 1:
         train_step = make_dp_train_step(
             step_model, mesh, augment=cfg.train.augment, elastic=cfg.train.elastic
         )
+        if K > 1:
+            multi_step = make_dp_multi_train_step(
+                step_model, mesh, K,
+                augment=cfg.train.augment, elastic=cfg.train.elastic,
+            )
     else:
         train_step = make_train_step(
             step_model, augment=cfg.train.augment, elastic=cfg.train.elastic
         )
+        if K > 1:
+            multi_step = make_multi_train_step(
+                step_model, K,
+                augment=cfg.train.augment, elastic=cfg.train.elastic,
+            )
     eval_step = make_eval_step(model, cfg.model.num_classes)
 
     # Each process samples only its LOCAL share of the global batch;
@@ -190,74 +223,125 @@ def train(
         # Sharded host→device transfer happens on the PREFETCH thread so it
         # overlaps the previous step's compute (a consumer-side put blocks
         # step dispatch ~10 ms through the tunnel; data/pipeline.py).
-        put_fn=lambda t: comm.shard_batch(mesh, t),
+        put_fn=lambda t: comm.shard_batch(mesh, t, batch_axis=1 if K > 1 else 0),
+        # K > 1: (K, B, ...) superbatches for the multi-step dispatch.
+        stack_steps=K,
     )
+    local = batch // n_proc
+    p0 = jax.process_index() * local
+
+    def local_kd(global_step):
+        """This process's slice of the per-sample augmentation key material
+        (same draws as the single-device step; parallel/dp.py)."""
+        kd = np.asarray(split_key_data(jax.random.fold_in(rng_key, global_step), batch))
+        return kd[p0:][:local]
+
+    def run_single(images, labels, global_step):
+        if cfg.train.augment:
+            if n_dev > 1:
+                (kd,) = comm.shard_batch(mesh, (local_kd(global_step),))
+                return train_step(state, images, labels, kd)
+            return train_step(
+                state, images, labels, jax.random.fold_in(rng_key, global_step)
+            )
+        return train_step(state, images, labels)
 
     aux = {}
     t_last = time.monotonic()
-    try:
-        for step in range(start_step, steps):
-            images, labels = next(loader)  # already batch-sharded on device
-            if cfg.train.augment:
-                akey = jax.random.fold_in(rng_key, step)
-                if n_dev > 1:
-                    # Per-sample key material as a batch-sharded array; this
-                    # process contributes its LOCAL slice of the global
-                    # split (same draws as the single-device step).
-                    kd = np.asarray(split_key_data(akey, batch))
-                    local = batch // n_proc
-                    kd = kd[jax.process_index() * local:][:local]
-                    (kd,) = comm.shard_batch(mesh, (kd,))
-                    state, aux = train_step(state, images, labels, kd)
-                else:
-                    state, aux = train_step(state, images, labels, akey)
+    steps_since_log = 0
+
+    def post_step(done, aux):
+        """Events after global step count ``done`` completed (== the old
+        per-step ``step + 1``). In chunked mode events only fire at chunk
+        ends; the divisibility validation above guarantees that is exactly
+        when their intervals trigger."""
+        nonlocal t_last, steps_since_log
+        if done % log_every == 0 or done == steps:
+            aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
+            dt = time.monotonic() - t_last
+            logger.log(done, imgs_per_s=batch * steps_since_log / dt, **aux_host)
+            t_last = time.monotonic()
+            steps_since_log = 0
+
+        if done % cfg.train.val_every == 0 or done == steps:
+            val_dice, per_class = validate_patches(
+                eval_step, state.params, val_cases,
+                cfg.train.patch_size, cfg.model.num_classes,
+            )
+            logger.log(
+                done,
+                val_dice=val_dice,
+                **{f"val_dice_c{k}": float(v) for k, v in enumerate(per_class)},
+            )
+            use_full = cfg.train.val_full_every > 0
+            if use_full and (
+                done % cfg.train.val_full_every == 0 or done == steps
+            ):
+                # Keep-best keys on the low-variance full-volume Dice.
+                full_dice = validate_full(
+                    model, state.params, val_cases,
+                    cfg.infer, cfg.model.num_classes,
+                )
+                logger.log(done, val_full_dice=full_dice)
+                ckpt.save(
+                    done, jax.device_get(state),
+                    metrics={"val_dice": full_dice},
+                )
+            elif use_full:
+                # Patch-val steps between full vals: latest-N retention
+                # only — the noisy 8-patch estimate must not compete on
+                # the best-K ladder against full-volume scores.
+                ckpt.save(done, jax.device_get(state), metrics=None)
             else:
-                state, aux = train_step(state, images, labels)
-
-            if (step + 1) % log_every == 0 or step + 1 == steps:
-                aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
-                dt = time.monotonic() - t_last
-                n = log_every if (step + 1) % log_every == 0 else (step % log_every) + 1
-                logger.log(step + 1, imgs_per_s=batch * n / dt, **aux_host)
-                t_last = time.monotonic()
-
-            if (step + 1) % cfg.train.val_every == 0 or step + 1 == steps:
-                val_dice, per_class = validate_patches(
-                    eval_step, state.params, val_cases,
-                    cfg.train.patch_size, cfg.model.num_classes,
+                ckpt.save(
+                    done, jax.device_get(state),
+                    metrics={"val_dice": val_dice},
                 )
-                logger.log(
-                    step + 1,
-                    val_dice=val_dice,
-                    **{f"val_dice_c{k}": float(v) for k, v in enumerate(per_class)},
-                )
-                use_full = cfg.train.val_full_every > 0
-                if use_full and (
-                    (step + 1) % cfg.train.val_full_every == 0 or step + 1 == steps
-                ):
-                    # Keep-best keys on the low-variance full-volume Dice.
-                    full_dice = validate_full(
-                        model, state.params, val_cases,
-                        cfg.infer, cfg.model.num_classes,
-                    )
-                    logger.log(step + 1, val_full_dice=full_dice)
-                    ckpt.save(
-                        step + 1, jax.device_get(state),
-                        metrics={"val_dice": full_dice},
-                    )
-                elif use_full:
-                    # Patch-val steps between full vals: latest-N retention
-                    # only — the noisy 8-patch estimate must not compete on
-                    # the best-K ladder against full-volume scores.
-                    ckpt.save(step + 1, jax.device_get(state), metrics=None)
+        elif done % cfg.train.ckpt_every == 0:
+            # metrics=None → retained by LatestN only, never GC'd by best-K
+            ckpt.save(done, jax.device_get(state), metrics=None)
+
+    try:
+        step = start_step
+        while step < steps:
+            if K == 1:
+                images, labels = next(loader)  # already batch-sharded
+                state, aux = run_single(images, labels, step)
+                step += 1
+                steps_since_log += 1
+                post_step(step, aux)
+                continue
+            # Chunked: one (K, B, ...) superbatch per dispatch. A chunk must
+            # start K-aligned and span a full K (intervals are K-multiples,
+            # so events land exactly at chunk ends); the K-misaligned resume
+            # case and the steps tail fall back to single steps on device-
+            # sliced micro-batches of the same superbatch.
+            images, labels = next(loader)
+            chunk = min(K - step % K, steps - step)
+            if chunk == K:
+                if cfg.train.augment:
+                    if n_dev > 1:
+                        kds = np.stack(
+                            [local_kd(step + i) for i in range(K)]
+                        )
+                        (kds,) = comm.shard_batch(mesh, (kds,), batch_axis=1)
+                        state, aux = multi_step(state, images, labels, kds)
+                    else:
+                        state, aux = multi_step(
+                            state, images, labels, rng_key,
+                            jnp.asarray(step, jnp.int32),
+                        )
                 else:
-                    ckpt.save(
-                        step + 1, jax.device_get(state),
-                        metrics={"val_dice": val_dice},
-                    )
-            elif (step + 1) % cfg.train.ckpt_every == 0:
-                # metrics=None → retained by LatestN only, never GC'd by best-K
-                ckpt.save(step + 1, jax.device_get(state), metrics=None)
+                    state, aux = multi_step(state, images, labels)
+                step += K
+                steps_since_log += K
+                post_step(step, aux)
+            else:
+                for i in range(chunk):
+                    state, aux = run_single(images[i], labels[i], step)
+                    step += 1
+                    steps_since_log += 1
+                    post_step(step, aux)
     finally:
         loader.close()
         ckpt.wait()

@@ -56,21 +56,15 @@ def create_train_state(model, params, cfg: TrainConfig) -> TrainState:
     return TrainState.create(apply_fn=model.apply, params=params, tx=make_optimizer(cfg))
 
 
-def make_train_step(
+def _train_step_fn(
     model,
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
 ):
-    """Single fused step: (augment→)fwd+bwd+update in ONE jitted program,
-    with donated state. One device program per step matters doubly here:
-    XLA fuses augmentation into the step, and each dispatch costs a fixed
-    ~38 ms round-trip through the PJRT tunnel (utils/latency.py).
-
-    Works unsharded on one device and data-parallel under GSPMD when the
-    batch carries a ``data``-axis NamedSharding (parallel/comm.py) — XLA
-    inserts the gradient all-reduce (SURVEY.md §3.1 rebuild equivalent).
-    """
+    """Raw (unjitted) micro-step body shared by ``make_train_step`` (one
+    dispatch per step) and ``make_multi_train_step`` (lax.scan of K steps
+    per dispatch)."""
     from runet_tpu.data.augment import augment_one
     from runet_tpu.train.losses import dice_ce_loss
 
@@ -105,6 +99,25 @@ def make_train_step(
         aux = dict(aux, grad_norm=gnorm)
         return state, aux
 
+    return train_step
+
+
+def make_train_step(
+    model,
+    include_background_dice: bool = False,
+    augment: bool = False,
+    elastic: bool = False,
+):
+    """Single fused step: (augment→)fwd+bwd+update in ONE jitted program,
+    with donated state. One device program per step matters doubly here:
+    XLA fuses augmentation into the step, and each dispatch costs a fixed
+    ~38 ms round-trip through the PJRT tunnel (utils/latency.py).
+
+    Works unsharded on one device and data-parallel under GSPMD when the
+    batch carries a ``data``-axis NamedSharding (parallel/comm.py) — XLA
+    inserts the gradient all-reduce (SURVEY.md §3.1 rebuild equivalent).
+    """
+    train_step = _train_step_fn(model, include_background_dice, augment, elastic)
     # Donate the state only: the batch arrives in compact transfer dtypes
     # (f16/uint8) and is upcast on device, so donating it can never be
     # honored — XLA logs "donated buffers were not usable" every step and
@@ -113,6 +126,53 @@ def make_train_step(
     if augment:
         return jax.jit(train_step, donate_argnums=(0,))
     return jax.jit(lambda s, i, l: train_step(s, i, l), donate_argnums=(0,))
+
+
+def make_multi_train_step(
+    model,
+    k: int,
+    include_background_dice: bool = False,
+    augment: bool = False,
+    elastic: bool = False,
+):
+    """K micro-steps in ONE dispatch: ``lax.scan`` over the raw step body.
+
+    Each per-step host dispatch through the PJRT tunnel costs ~1 ms of
+    enqueue plus scheduling gaps; at a ~200 ms step that is noise, but the
+    dispatch train also serializes with the host thread. Scanning K steps
+    amortizes all of it to once per chunk (``TrainConfig.steps_per_dispatch``).
+
+    Signature: ``(state, images (K,B,...), labels (K,B,...)[, key, step0])
+    -> (state, aux)`` where ``key`` is the loop's base rng key and ``step0``
+    the global index of the chunk's first micro-step — augmentation draws
+    are ``fold_in(key, step0+i)``, IDENTICAL draw-for-draw to K calls of
+    ``make_train_step`` (asserted in tests/test_train_extras.py). ``aux``
+    scalars are means over the chunk (grad_norm included).
+    """
+    step = _train_step_fn(model, include_background_dice, augment, elastic)
+
+    if augment:
+
+        def multi(state, images, labels, key, step0):
+            idx = step0 + jnp.arange(k)
+
+            def body(s, x):
+                im, lb, i = x
+                return step(s, im, lb, jax.random.fold_in(key, i))
+
+            state, auxs = jax.lax.scan(body, state, (images, labels, idx))
+            return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, 0), auxs)
+
+    else:
+
+        def multi(state, images, labels):
+            def body(s, x):
+                return step(s, *x)
+
+            state, auxs = jax.lax.scan(body, state, (images, labels))
+            return state, jax.tree_util.tree_map(lambda a: jnp.mean(a, 0), auxs)
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(model, num_classes: int):

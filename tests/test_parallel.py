@@ -187,3 +187,45 @@ def test_gspmd_jit_matches_shard_map(setup):
         jax.tree_util.tree_leaves(jax.device_get(state_s.params)),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_multi_step_matches_sequence(setup):
+    """make_dp_multi_train_step (K shard_map micro-steps in one lax.scan
+    dispatch, superbatch sharded on axis 1) must match K single dp steps,
+    including the per-step augmentation key material."""
+    from runet_tpu.parallel.dp import make_dp_multi_train_step, split_key_data
+
+    cfg, tcfg, model, params, images, labels = setup
+    K = 2
+    rng = np.random.default_rng(5)
+    ims = rng.normal(size=(K, 8, 8, 8, 8, 1)).astype(np.float32)
+    lbs = (rng.uniform(size=(K, 8, 8, 8, 8)) < 0.3).astype(np.int32)
+    akey = jax.random.key(13)
+    kds = np.stack(
+        [np.asarray(split_key_data(jax.random.fold_in(akey, i), 8)) for i in range(K)]
+    )
+
+    mesh = comm.make_mesh(8)
+    step = make_dp_train_step(model, mesh, augment=True)
+    state_a = comm.replicate(
+        mesh, create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    )
+    losses = []
+    for i in range(K):
+        im, lb, kd = comm.shard_batch(mesh, (ims[i], lbs[i], kds[i]))
+        state_a, aux = step(state_a, im, lb, kd)
+        losses.append(float(aux["loss"]))
+
+    multi = make_dp_multi_train_step(model, mesh, K, augment=True)
+    state_b = comm.replicate(
+        mesh, create_train_state(model, jax.tree.map(jnp.copy, params), tcfg)
+    )
+    im, lb, kd = comm.shard_batch(mesh, (ims, lbs, kds), batch_axis=1)
+    state_b, aux_b = multi(state_b, im, lb, kd)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state_a.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state_b.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    np.testing.assert_allclose(float(aux_b["loss"]), np.mean(losses), atol=1e-5)
