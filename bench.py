@@ -167,6 +167,30 @@ def bench_train_step(data_root: Path) -> dict:
         t0 = time.monotonic()
         run_steps(n, i0=3)
         dt = (time.monotonic() - t0) / n
+
+        # Multi-step dispatch (steps_per_dispatch): K micro-steps as ONE
+        # lax.scan chunk — per-step time here is ~pure device time, and the
+        # delta vs train_step_ms is the per-dispatch host overhead through
+        # the tunnel (train/state.py make_multi_train_step).
+        import jax.numpy as jnp
+
+        from runet_tpu.train.state import make_multi_train_step
+
+        K = 8
+        multi = make_multi_train_step(model, K, augment=True)
+        pairs = [next(loader) for _ in range(K)]
+        ims = jnp.stack([p[0] for p in pairs])
+        lbs = jnp.stack([p[1] for p in pairs])
+        state, aux = multi(state, ims, lbs, key, jnp.asarray(0, jnp.int32))
+        device_sync(aux["loss"])
+        n_chunks = 2
+        t0 = time.monotonic()
+        for c in range(n_chunks):
+            state, aux = multi(
+                state, ims, lbs, key, jnp.asarray((c + 1) * K, jnp.int32)
+            )
+        device_sync(aux["loss"])
+        dt_scan = (time.monotonic() - t0) / (n_chunks * K)
     finally:
         loader.close()
     accum = max(1, cfg.train.grad_accum)
@@ -179,6 +203,9 @@ def bench_train_step(data_root: Path) -> dict:
         "train_patches_per_s": round(cfg.train.batch_size / dt, 3),
         "train_patch": list(cfg.train.patch_size),
         "train_batch": cfg.train.batch_size,
+        # scan-of-8 chunk: per-micro-step device time; dispatched minus scan
+        # ~= per-step host dispatch overhead.
+        "train_step_scan8_ms": round(dt_scan * 1000, 1),
     }
 
 
