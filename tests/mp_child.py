@@ -39,8 +39,17 @@ mesh = comm.make_hybrid_mesh()  # defaults: (dcn=2 processes, ici=2 local)
 assert mesh.axis_names == (comm.DCN_AXIS, comm.ICI_AXIS)
 assert mesh.devices.shape == (2, 2)
 
+from tests.mp_common import build_multi_batch, run_multi_chunk  # noqa: E402
+
 state, images, labels = build_state_and_batch()
 # This process contributes its LOCAL half of the global batch.
 local = slice(2 * pid, 2 * pid + 2)
 loss, checksum = run_one_step(mesh, state, images[local], labels[local])
 print(f"RESULT {pid} {loss:.10f} {checksum:.10f}", flush=True)
+
+# Multi-step chunk (steps_per_dispatch): the same global superbatch, local
+# slice on axis 1, scan of K=2 micro-steps in one dispatch.
+state2 = build_state_and_batch()[0]  # fresh params for the chunk run
+mi, ml = build_multi_batch()
+mloss, mck = run_multi_chunk(mesh, state2, mi[:, local], ml[:, local])
+print(f"RESULTM {pid} {mloss:.10f} {mck:.10f}", flush=True)

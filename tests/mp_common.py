@@ -51,3 +51,31 @@ def run_one_step(mesh, model_state, local_images, local_labels):
     leaves = jax.tree_util.tree_leaves(state.params)
     checksum = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
     return loss, checksum
+
+
+def build_multi_batch(k: int = 2):
+    """Deterministic (K, GLOBAL_BATCH, ...) superbatch for the multi-step
+    chunk parity check (train/state.py make_multi_train_step)."""
+    rng = np.random.default_rng(9)
+    images = rng.normal(size=(k, GLOBAL_BATCH, *PATCH, 1)).astype(np.float16)
+    labels = rng.integers(0, 2, size=(k, GLOBAL_BATCH, *PATCH)).astype(np.uint8)
+    return images, labels
+
+
+def run_multi_chunk(mesh, model_state, local_images, local_labels):
+    """K micro-steps in one scan dispatch through comm.shard_batch
+    batch_axis=1 (the multi-process make_array_from_process_local_data
+    branch with a non-leading batch axis); returns (loss, checksum)."""
+    from runet_tpu.train.state import make_multi_train_step
+
+    model, state = model_state
+    k = local_images.shape[0]
+    multi = make_multi_train_step(model, k, augment=False)
+    state = comm.replicate(mesh, state)
+    images, labels = comm.shard_batch(mesh, (local_images, local_labels), batch_axis=1)
+    assert images.shape[1] == GLOBAL_BATCH  # global on the batch axis
+    state, aux = multi(state, images, labels)
+    loss = float(jax.device_get(aux["loss"]))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    checksum = float(sum(np.abs(np.asarray(l)).sum() for l in leaves))
+    return loss, checksum
