@@ -63,10 +63,32 @@ class PatchLoader:
         self._rng = np.random.default_rng(seed)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
+        self._exc: BaseException | None = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    # Queue sentinel marking a dead worker: without it a worker exception
+    # (bad case file, device_put failure on a dropped tunnel, ...) would
+    # kill the thread silently and the consumer would block in __next__
+    # forever. The consumer re-raises instead.
+    _SENTINEL = object()
+
     def _worker(self):
+        try:
+            self._worker_loop()
+        except BaseException as e:  # propagate to the consumer thread
+            self._exc = e
+            self._put(self._SENTINEL)
+
+    def _put(self, item) -> None:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    def _worker_loop(self):
         image_dtype = np.float16 if self.compact_transfer else np.float32
         label_dtype = np.uint8 if self.compact_transfer else np.int32
         while not self._stop.is_set():
@@ -95,19 +117,17 @@ class PatchLoader:
                 batch = tuple(jax.device_put(x, self.sharding) for x in batch)
             else:
                 batch = tuple(jax.device_put(x) for x in batch)
-            while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            self._put(batch)
 
     def __iter__(self) -> Iterator:
         return self
 
     def __next__(self):
         # Batches arrive already device-resident (worker-thread put).
-        return self._q.get()
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise RuntimeError("PatchLoader worker thread failed") from self._exc
+        return item
 
     def close(self):
         self._stop.set()

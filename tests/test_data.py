@@ -208,6 +208,28 @@ def test_patch_loader(tmp_path):
         loader.close()
 
 
+def test_patch_loader_worker_failure_propagates(tmp_path):
+    """A worker-thread exception (bad case, device_put on a dropped tunnel)
+    must surface in __next__, not deadlock the consumer forever."""
+    import pytest
+
+    write_phantom_dataset(tmp_path, num_cases=1, shape=(32, 32, 24))
+    pp = PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None)
+    cases = prepare_dataset(tmp_path, pp)
+
+    def bad_put(batch):
+        raise OSError("tunnel dropped")
+
+    loader = PatchLoader(
+        cases, batch_size=1, patch_size=(16, 16, 16), put_fn=bad_put
+    )
+    try:
+        with pytest.raises(RuntimeError, match="worker thread failed"):
+            next(loader)
+    finally:
+        loader.close()
+
+
 def test_prepare_dataset_disk_cache_roundtrip(tmp_path):
     """Cached prepare == uncached prepare; second load is memory-mapped and
     does not re-preprocess; changed preprocess config invalidates."""
