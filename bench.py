@@ -209,32 +209,19 @@ def bench_train_step(data_root: Path) -> dict:
     }
 
 
-def _probe_device(timeout_s: int = 300, tries: int = 3) -> None:
+def _probe_device() -> None:
     """``jax.devices()`` through a dead TPU tunnel blocks forever (a C++
     wait with no deadline), which would make this bench hang and produce no
     JSON at all. Probe the backend in a SUBPROCESS with a timeout first so a
     run against a downed tunnel fails fast with a diagnosis on stderr (the
     round-3 session lost hours to exactly this failure mode)."""
-    import subprocess
+    from runet_tpu.utils.health import probe_backend
 
-    for i in range(tries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
-                timeout=timeout_s, capture_output=True, text=True,
-            )
-            if r.returncode == 0:
-                return
-            msg = (r.stderr or "").strip().splitlines()[-1:] or ["no output"]
-            print(f"bench: device probe {i + 1}/{tries} failed: {msg[0]}",
-                  file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"bench: device probe {i + 1}/{tries} timed out "
-                  f"({timeout_s}s) — tunnel unresponsive", file=sys.stderr,
-                  flush=True)
-    print("bench: TPU backend unreachable; aborting before any work",
-          file=sys.stderr, flush=True)
-    sys.exit(1)
+    ok, detail = probe_backend()
+    if not ok:
+        print(f"bench: TPU backend unreachable ({detail}); aborting before "
+              "any work", file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 def main():

@@ -278,6 +278,16 @@ def cmd_visualize(args):
         print(f"{cid}: wrote {p}")
 
 
+def cmd_doctor(args):
+    import json
+
+    from runet_tpu.utils.health import doctor_report
+
+    report = doctor_report(probe_timeout_s=args.timeout)
+    print(json.dumps(report, indent=1))
+    return 0 if report["backend_reachable"] else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="runet_tpu", description=__doc__)
     p.add_argument(
@@ -355,6 +365,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pred", default=None, help="dir of predicted .nii.gz (from predict)")
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_visualize)
+
+    sp = sub.add_parser(
+        "doctor",
+        help="backend health + env report (probes the TPU tunnel with a "
+        "timeout; a dead tunnel otherwise blocks jax.devices() forever)",
+    )
+    sp.add_argument("--timeout", type=int, default=300,
+                    help="probe subprocess timeout, seconds")
+    sp.set_defaults(fn=cmd_doctor)
     return p
 
 
@@ -370,7 +389,7 @@ def main(argv=None):
 
         with sanitize():
             return args.fn(args)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

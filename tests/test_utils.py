@@ -95,3 +95,29 @@ def test_audit_donation_flags_donated_buffers():
     donated, fresh = audit_donation(x, y)
     assert donated is True
     assert fresh is False
+
+
+def test_probe_backend_and_doctor():
+    """health.probe_backend succeeds on the CPU backend (subprocess inherits
+    the conftest's JAX_PLATFORMS=cpu), fails cleanly on a tiny timeout, and
+    doctor_report carries the ops-relevant keys."""
+    from runet_tpu.utils.health import doctor_report, probe_backend
+
+    ok, detail = probe_backend(timeout_s=120, tries=1)
+    assert ok, detail
+    assert detail  # device string, e.g. TFRT_CPU_0
+
+    ok, detail = probe_backend(timeout_s=0.01, tries=1)
+    assert not ok and "timed out" in detail
+
+    report = doctor_report(probe_timeout_s=120)
+    assert report["backend_reachable"] is True
+    assert report["devices"]
+    assert report["tiny_dispatch_s"] >= 0
+    assert "dir" in report["compilation_cache"]
+
+
+def test_cli_doctor_runs():
+    from runet_tpu.cli import main
+
+    assert main(["doctor", "--timeout", "120"]) == 0
