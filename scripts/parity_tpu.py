@@ -21,6 +21,13 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> int:
+    from runet_tpu.utils.health import probe_backend
+
+    ok, detail = probe_backend(tries=2)
+    if not ok:
+        print(f"TPU backend unreachable ({detail}); not starting", file=sys.stderr)
+        return 1
+
     from runet_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

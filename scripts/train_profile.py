@@ -35,6 +35,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+if not len(sys.argv) > 2:  # chip mode: fail fast if the tunnel is dead
+    from runet_tpu.utils.health import probe_backend
+
+    _ok, _detail = probe_backend(tries=2)
+    if not _ok:
+        sys.exit(f"TPU backend unreachable ({_detail}); not starting")
+
 from runet_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
