@@ -102,6 +102,20 @@ def cmd_train(args):
     print(f"done at step {int(state.step)}; loss={float(aux['loss']):.4f}")
 
 
+def _load_bundle_spec(spec: str, cfg_override: str | None = None):
+    """``--fine``/``--coarse`` accept a comma-separated list of run dirs /
+    serving .npz files; >1 entries are fused into a probability-averaging
+    checkpoint ensemble (infer/ensemble.py, [DOMAIN] K-fold fusion)."""
+    paths = [p for p in str(spec).split(",") if p]
+    first, cfg = _load_bundle(Path(paths[0]), cfg_override)
+    if len(paths) == 1:
+        return first, cfg
+    from runet_tpu.infer.ensemble import ensemble_bundle
+
+    members = [first] + [_load_bundle(Path(p), cfg_override)[0] for p in paths[1:]]
+    return ensemble_bundle(members), cfg
+
+
 def _iter_cases(data: Path):
     from runet_tpu.data.dataset import index_cases
     from runet_tpu.io.nifti import load_volume
@@ -148,10 +162,10 @@ def cmd_predict(args):
     from runet_tpu.infer.cascade import predict_volume
     from runet_tpu.io.nifti import save_volume
 
-    fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
+    fine, fine_cfg = _load_bundle_spec(args.fine, args.config)
     coarse = None
     if args.coarse:
-        coarse, _ = _load_bundle(Path(args.coarse))
+        coarse, _ = _load_bundle_spec(args.coarse)
     if args.tta:
         fine = _with_tta(fine)
 
@@ -177,10 +191,10 @@ def cmd_evaluate(args):
     from runet_tpu.eval.evaluate import evaluate_prediction
     from runet_tpu.infer.cascade import predict_volume
 
-    fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
+    fine, fine_cfg = _load_bundle_spec(args.fine, args.config)
     coarse = None
     if args.coarse:
-        coarse, _ = _load_bundle(Path(args.coarse))
+        coarse, _ = _load_bundle_spec(args.coarse)
     if args.tta:
         fine = _with_tta(fine)
 
@@ -226,8 +240,8 @@ def cmd_warmup(args):
     compile part)."""
     from runet_tpu.infer.warmup import warmup_cases, warmup_roi_buckets
 
-    fine, fine_cfg = _load_bundle(Path(args.fine), args.config)
-    coarse, _ = _load_bundle(Path(args.coarse))
+    fine, fine_cfg = _load_bundle_spec(args.fine, args.config)
+    coarse, _ = _load_bundle_spec(args.coarse)
     if args.tta:
         fine = _with_tta(fine)
 
@@ -321,7 +335,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("predict", help="segment cases")
     sp.add_argument("--data", required=True, help="case dir or single .nii(.gz)")
-    sp.add_argument("--fine", required=True, help="fine model run dir")
+    sp.add_argument("--fine", required=True, help="fine model run dir / .npz; comma-separate K for a prob-averaging ensemble")
     sp.add_argument("--coarse", default=None, help="coarse run dir (enables cascade)")
     sp.add_argument("--config", default=None, help="preset fallback if run has no config.json")
     sp.add_argument("--out", required=True)
@@ -342,7 +356,7 @@ def build_parser() -> argparse.ArgumentParser:
         "warmup",
         help="precompile/warm the cascade programs (serving startup step)",
     )
-    sp.add_argument("--fine", required=True, help="fine model run dir / .npz")
+    sp.add_argument("--fine", required=True, help="fine model run dir / .npz (comma-separate for ensemble)")
     sp.add_argument("--coarse", required=True, help="coarse run dir / .npz")
     sp.add_argument("--config", default=None)
     sp.add_argument("--data", default=None, help="warm with the first --cases real cases")
