@@ -91,10 +91,22 @@ def cmd_train(args):
     from runet_tpu.train.loop import train
 
     cfg = get_config(args.config)
+    cases = val_cases = None
+    if args.fold:
+        # --fold i/k: deterministic cross-validation split; the K run dirs
+        # fuse at inference via --fine dir0,...,dirK-1 (infer/ensemble.py).
+        from runet_tpu.data.dataset import prepare_dataset, split_folds
+
+        i, k = (int(x) for x in args.fold.split("/"))
+        all_cases = prepare_dataset(args.data, cfg.preprocess, cache_dir=args.cache)
+        cases, val_cases = split_folds(all_cases, k, i)
+        print(f"fold {i}/{k}: {len(cases)} train / {len(val_cases)} val cases")
     state, aux = train(
         cfg,
         data_root=args.data,
         out_dir=args.out,
+        cases=cases,
+        val_cases=val_cases,
         max_steps=args.steps,
         resume=args.resume,
         cache_dir=args.cache,
@@ -330,6 +342,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--cache", default=None,
         help="preprocessed-case cache dir (memory-mapped; full-KiTS scale "
         "without holding the dataset in host RAM)",
+    )
+    sp.add_argument(
+        "--fold", default=None, metavar="I/K",
+        help="cross-validation fold, e.g. 0/5: deterministic K-fold split; "
+        "fuse the K runs at inference with --fine run0,...,runK-1",
     )
     sp.set_defaults(fn=cmd_train)
 

@@ -196,3 +196,23 @@ def prepare_dataset(
     if cache_dir is None:
         return [prepare_case(r, pp) for r in recs]
     return [prepare_case_cached(r, pp, Path(cache_dir)) for r in recs]
+
+
+def split_folds(cases: list, num_folds: int, fold: int) -> tuple[list, list]:
+    """Deterministic K-fold split → (train_cases, val_cases).
+
+    [DOMAIN] KiTS19-era pipelines train K cross-validation folds and fuse
+    them at inference (infer/ensemble.py). Assignment is round-robin over
+    the dataset order (index_cases sorts by case id), so every fold's val
+    set is stable across runs/processes and folds differ by at most one
+    case in size.
+    """
+    if not 2 <= num_folds <= len(cases):
+        raise ValueError(
+            f"num_folds={num_folds} must be in [2, num_cases={len(cases)}]"
+        )
+    if not 0 <= fold < num_folds:
+        raise ValueError(f"fold={fold} out of range for num_folds={num_folds}")
+    val = [c for i, c in enumerate(cases) if i % num_folds == fold]
+    trn = [c for i, c in enumerate(cases) if i % num_folds != fold]
+    return trn, val

@@ -272,3 +272,24 @@ def test_prepare_dataset_disk_cache_roundtrip(tmp_path):
     b = sample_batch(rng2, [prepare_dataset(root, pp, cache_dir=cache)[0]], 2, (16, 16, 16))
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_split_folds_deterministic_and_disjoint():
+    from runet_tpu.data.dataset import split_folds
+
+    import pytest
+
+    cases = [f"c{i}" for i in range(7)]
+    seen_val = []
+    for f in range(3):
+        trn, val = split_folds(cases, 3, f)
+        assert sorted(trn + val) == sorted(cases)
+        assert not set(trn) & set(val)
+        seen_val += val
+        trn2, val2 = split_folds(cases, 3, f)
+        assert (trn2, val2) == (trn, val)
+    assert sorted(seen_val) == sorted(cases)  # folds partition the dataset
+    with pytest.raises(ValueError, match="out of range"):
+        split_folds(cases, 3, 3)
+    with pytest.raises(ValueError, match="num_folds"):
+        split_folds(cases, 1, 0)
