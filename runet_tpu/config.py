@@ -279,6 +279,16 @@ PRESETS = {
 
 
 def get_config(name: str) -> Config:
-    if name not in PRESETS:
-        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
-    return PRESETS[name]()
+    """Resolve a preset name — or a path to a config JSON file (the format
+    ``Config.to_json`` writes and every run dir's ``config.json`` uses), so
+    custom configs round-trip through the CLI: edit a run's config.json,
+    pass it to ``--config``."""
+    if name in PRESETS:
+        return PRESETS[name]()
+    import os
+
+    if os.path.isfile(name):
+        return Config.from_json(open(name).read())
+    raise KeyError(
+        f"unknown preset {name!r} (not a file either); have {sorted(PRESETS)}"
+    )

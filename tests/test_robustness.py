@@ -126,3 +126,17 @@ def test_checkpoint_periodic_saves_survive_keep_best(tmp_path):
     assert {1, 2} <= steps  # best-K arm retains validated ckpts
     assert 5 in steps
     mgr.close()
+
+
+def test_get_config_accepts_json_file(tmp_path):
+    """--config also takes a path to a Config JSON (the run-dir config.json
+    format): edit + re-train workflows need no code changes."""
+    import pytest
+
+    cfg = get_config("coarse")
+    p = tmp_path / "my.json"
+    p.write_text(cfg.to_json())
+    loaded = get_config(str(p))
+    assert loaded == cfg
+    with pytest.raises(KeyError, match="unknown preset"):
+        get_config("nope_not_a_preset")
