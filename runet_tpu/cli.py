@@ -283,8 +283,12 @@ def cmd_warmup(args):
 def cmd_export(args):
     from runet_tpu.utils.export import export_run
 
-    p = export_run(Path(args.run), Path(args.out))
-    print(f"exported best checkpoint to {p}")
+    p = export_run(Path(args.run), Path(args.out), average=args.average)
+    what = (
+        f"mean of best {args.average} checkpoints" if args.average > 1
+        else "best checkpoint"
+    )
+    print(f"exported {what} to {p}")
 
 
 def cmd_visualize(args):
@@ -389,6 +393,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("export", help="export a run's best checkpoint to a serving .npz")
     sp.add_argument("--run", required=True, help="training run dir")
     sp.add_argument("--out", required=True, help="output .npz path")
+    sp.add_argument(
+        "--average", type=int, default=1, metavar="K",
+        help="export the element-wise mean of the best K retained "
+        "checkpoints (SWA-style weight averaging) instead of the single best",
+    )
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("visualize", help="write PNG overlay panels per case")

@@ -79,6 +79,18 @@ class CheckpointManager:
     def best_step(self) -> int | None:
         return self._mgr.best_step()
 
+    def best_steps(self, k: int) -> list[int]:
+        """Up to ``k`` retained steps, best metric first (steps without the
+        metric — periodic latest-N saves — rank last, latest first), for
+        checkpoint weight averaging (utils/export.py)."""
+        scored = []
+        for step in self._mgr.all_steps():
+            m = self._mgr.metrics(step)
+            score = float(m.get(self.best_metric, float("-inf"))) if m else float("-inf")
+            scored.append((score, step))
+        scored.sort(key=lambda t: (t[0], t[1]), reverse=True)
+        return [s for _, s in scored[:k]]
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 

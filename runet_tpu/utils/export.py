@@ -44,8 +44,16 @@ def load_params_npz(path: str | Path):
     return unflatten_dict(flat), cfg
 
 
-def export_run(run_dir: str | Path, out_path: str | Path) -> Path:
-    """Export a training run's BEST checkpoint to a serving .npz."""
+def export_run(run_dir: str | Path, out_path: str | Path, average: int = 1) -> Path:
+    """Export a training run's BEST checkpoint to a serving .npz.
+
+    ``average > 1``: export the element-wise MEAN of the best-``average``
+    retained checkpoints' params instead ([DOMAIN] SWA-style weight
+    averaging — late checkpoints share a loss basin, and the model has no
+    running norm statistics to invalidate: InstanceNorm is per-sample).
+    Distinct from ``infer/ensemble.py`` (K forwards, averaged probs):
+    averaging costs nothing at serving time.
+    """
     import jax
 
     from runet_tpu.config import Config
@@ -60,6 +68,18 @@ def export_run(run_dir: str | Path, out_path: str | Path) -> Path:
     params = init_params(model, jax.random.key(0), cfg.train.patch_size)
     state = create_train_state(model, params, cfg.train)
     ckpt = CheckpointManager(run_dir / "ckpt")
+    if average > 1:
+        steps = ckpt.best_steps(average)
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {run_dir / 'ckpt'}")
+        acc = None
+        for s in steps:
+            p = jax.device_get(ckpt.restore(state, step=s).params)
+            acc = p if acc is None else jax.tree_util.tree_map(np.add, acc, p)
+        mean = jax.tree_util.tree_map(
+            lambda a: (a / len(steps)).astype(a.dtype), acc
+        )
+        return save_params_npz(out_path, mean, cfg_json)
     step = ckpt.best_step() or ckpt.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir / 'ckpt'}")

@@ -104,3 +104,51 @@ def test_export_and_predict_from_npz(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(load_volume(case).data), np.asarray(load_volume(case_b).data)
     )
+
+
+def test_export_average_weights(tmp_path):
+    """export --average K writes the element-wise mean of the best-K
+    retained checkpoints (SWA-style; utils/export.py)."""
+    import numpy as np
+
+    from runet_tpu.cli import main
+    from runet_tpu.config import Config, ModelConfig, PreprocessConfig, TrainConfig
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.checkpoint import CheckpointManager
+    from runet_tpu.train.loop import train
+    from runet_tpu.train.state import create_train_state
+    from runet_tpu.utils.export import load_params_npz
+
+    data = tmp_path / "data"
+    run = tmp_path / "run"
+    main([
+        "phantom", "--out", str(data), "--cases", "1",
+        "--shape", "32", "32", "24", "--classes", "3",
+    ])
+    cfg = Config(
+        model=ModelConfig(num_classes=3, base_features=4, num_levels=2),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=TrainConfig(patch_size=(16, 16, 16), batch_size=1, steps=4,
+                          val_every=2, ckpt_every=2, warmup_steps=0),
+    )
+    train(cfg, data_root=data, out_dir=run, max_steps=4, log_every=2)
+
+    npz = tmp_path / "avg.npz"
+    main(["export", "--run", str(run), "--out", str(npz), "--average", "2"])
+    got, _cfg_json = load_params_npz(npz)
+
+    import jax
+
+    model = UNet3D(cfg.model)
+    state = create_train_state(
+        model, init_params(model, jax.random.key(0), (16, 16, 16)), cfg.train
+    )
+    ckpt = CheckpointManager(run / "ckpt")
+    steps = ckpt.best_steps(2)
+    assert len(steps) == 2
+    trees = [
+        jax.device_get(ckpt.restore(state, step=s).params) for s in steps
+    ]
+    want = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *trees)
+    for g, w in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
