@@ -188,6 +188,11 @@ def cmd_predict(args):
         save_volume(out_dir / f"{cid}.nii.gz", pred, vol.spacing, vol.affine)
         print(f"{cid}: wrote {out_dir / f'{cid}.nii.gz'}")
 
+    if args.probs_out and coarse is not None:
+        raise SystemExit(
+            "--probs-out needs the whole-volume path (omit --coarse): the "
+            "cascade fetches per-ROI labels only"
+        )
     if coarse is not None:
         for cid, vol, _gt, pred in _pipelined_cascade(
             coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade,
@@ -195,8 +200,23 @@ def cmd_predict(args):
         ):
             emit(cid, vol, pred)
     else:
+        probs_dir = Path(args.probs_out) if args.probs_out else None
+        if probs_dir:
+            probs_dir.mkdir(parents=True, exist_ok=True)
         for cid, vol, _gt in _iter_cases(Path(args.data)):
-            emit(cid, vol, predict_volume(fine, vol.data, vol.spacing))
+            if probs_dir:
+                pred, probs, pp_spacing = predict_volume(
+                    fine, vol.data, vol.spacing, return_probs=True
+                )
+                np.savez(
+                    probs_dir / f"{cid}_probs.npz", probs=probs,
+                    spacing=np.asarray(pp_spacing),
+                    native_shape=np.asarray(vol.data.shape),
+                    native_spacing=np.asarray(vol.spacing),
+                )
+                emit(cid, vol, pred)
+            else:
+                emit(cid, vol, predict_volume(fine, vol.data, vol.spacing))
 
 
 def cmd_evaluate(args):
@@ -358,6 +378,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--data", required=True, help="case dir or single .nii(.gz)")
     sp.add_argument("--fine", required=True, help="fine model run dir / .npz; comma-separate K for a prob-averaging ensemble")
     sp.add_argument("--coarse", default=None, help="coarse run dir (enables cascade)")
+    sp.add_argument(
+        "--probs-out", default=None, metavar="DIR",
+        help="also write f16 class probabilities at the preprocessed grid "
+        "({cid}_probs.npz; whole-volume path only) for offline fusion",
+    )
     sp.add_argument("--config", default=None, help="preset fallback if run has no config.json")
     sp.add_argument("--out", required=True)
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")

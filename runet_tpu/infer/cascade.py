@@ -185,13 +185,49 @@ def _roi_program(
     return pack_nibbles(native)
 
 
-def predict_volume(fine: ModelBundle, image: np.ndarray, native_spacing) -> np.ndarray:
+def predict_volume(
+    fine: ModelBundle, image: np.ndarray, native_spacing,
+    return_probs: bool = False,
+):
     """BASELINE config 2: fine model sliding-window over the whole volume,
     labels resampled back to the native grid (fetched nibble-packed — the
-    native-shape uint8 volume is ~42 MB at KiTS19 scale, ~1 s of tunnel)."""
+    native-shape uint8 volume is ~42 MB at KiTS19 scale, ~1 s of tunnel).
+
+    ``return_probs``: also fetch the class probabilities at the PREPROCESSED
+    grid as f16 — (native_labels, probs, preprocess_spacing). Probabilities
+    feed offline fusion/calibration workflows; they stay at the model grid
+    (resampling them to native would triple the fetch for no analysis
+    value — downstream fusion resamples once at the end)."""
     from runet_tpu.infer.packing import pack_nibbles, unpack_nibbles
 
     vol = _preprocess_on_device(image, native_spacing, fine.preprocess)
+    if return_probs:
+        from runet_tpu.infer.sliding_window import sliding_window_predict
+        from runet_tpu.infer.tta import effective_apply_fn
+
+        labels, probs = sliding_window_predict(
+            effective_apply_fn(fine), fine.params, vol,
+            patch_size=tuple(fine.infer.patch_size),
+            num_classes=fine.num_classes,
+            overlap=fine.infer.overlap,
+            sigma_scale=fine.infer.sigma_scale,
+            use_gaussian=fine.infer.use_gaussian,
+            window_batch=fine.infer.window_batch,
+            single_pass_ratio=fine.infer.single_pass_ratio,
+            expand_windows=fine.infer.expand_windows,
+            return_probs=True,
+        )
+        scale = tuple(
+            n / f for n, f in zip(native_spacing, fine.preprocess.spacing)
+        )
+        packed = jax.jit(pack_nibbles)(
+            resample_labels_onehot(
+                labels.astype(jnp.int32), tuple(image.shape), scale,
+                fine.num_classes,
+            ).astype(jnp.uint8)
+        )
+        native = unpack_nibbles(np.asarray(packed), image.shape[2])
+        return native, np.asarray(probs.astype(jnp.float16)), fine.preprocess.spacing
     labels = _predict_stage(fine, vol)
     scale = tuple(n / f for n, f in zip(native_spacing, fine.preprocess.spacing))
     packed = jax.jit(pack_nibbles)(

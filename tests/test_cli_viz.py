@@ -152,3 +152,51 @@ def test_export_average_weights(tmp_path):
     want = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *trees)
     for g, w in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
+def test_predict_probs_out(tmp_path):
+    """--probs-out writes f16 probabilities at the preprocessed grid whose
+    argmax matches the label volume there (predict_volume return_probs)."""
+    import numpy as np
+
+    from runet_tpu.cli import main
+    from runet_tpu.config import Config, ModelConfig, PreprocessConfig, TrainConfig
+    from runet_tpu.train.loop import train
+
+    data = tmp_path / "data"
+    run = tmp_path / "run"
+    main([
+        "phantom", "--out", str(data), "--cases", "1",
+        "--shape", "32", "32", "24", "--classes", "3",
+    ])
+    cfg = Config(
+        model=ModelConfig(num_classes=3, base_features=4, num_levels=2),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=TrainConfig(patch_size=(16, 16, 16), batch_size=1, steps=2,
+                          val_every=2, ckpt_every=2, warmup_steps=0),
+    )
+    train(cfg, data_root=data, out_dir=run, max_steps=2, log_every=2)
+
+    out = tmp_path / "preds"
+    probs = tmp_path / "probs"
+    main([
+        "predict", "--data", str(data), "--fine", str(run),
+        "--out", str(out), "--probs-out", str(probs),
+    ])
+    (pz,) = sorted(probs.glob("*_probs.npz"))
+    z = np.load(pz)
+    assert z["probs"].dtype == np.float16
+    assert z["probs"].shape[-1] == 3
+    s = z["probs"].sum(-1)
+    np.testing.assert_allclose(s, 1.0, atol=2e-2)  # f16 prob simplex
+    assert tuple(z["native_shape"]) == (32, 32, 24)
+
+    # cascade + probs is rejected
+    import pytest
+
+    with pytest.raises(SystemExit, match="probs-out"):
+        main([
+            "predict", "--data", str(data), "--fine", str(run),
+            "--coarse", str(run), "--out", str(out),
+            "--probs-out", str(probs),
+        ])
