@@ -255,13 +255,20 @@ def cmd_evaluate(args):
         row["case_id"] = cid
         rows.append(row)
         print(json.dumps(row))
+    summary = None
     if rows:
-        mean = {
+        summary = {
             k: float(np.mean([r[k] for r in rows]))
             for k in rows[0]
             if k != "case_id"
         }
-        print(json.dumps({"summary": mean}))
+        print(json.dumps({"summary": summary}))
+    if args.out:
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(
+            json.dumps({"cases": rows, "summary": summary}, indent=1) + "\n"
+        )
+        print(f"wrote {args.out}", file=sys.stderr)
 
 
 def cmd_warmup(args):
@@ -396,6 +403,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", default=None)
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
+    sp.add_argument("--out", default=None, help="also write {cases, summary} JSON here")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser(
