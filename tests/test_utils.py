@@ -121,3 +121,27 @@ def test_cli_doctor_runs():
     from runet_tpu.cli import main
 
     assert main(["doctor", "--timeout", "120"]) == 0
+
+
+def test_scanned_ms_keeps_computation_alive():
+    """The `*0` carry-folding idiom in the device-loop timing protocol must
+    keep the measured computation live — if XLA ever starts folding float
+    `x*0` (it must not: NaN/Inf semantics), every scanned_ms row would
+    silently measure a no-op. Guard with a conv-vs-identity ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from runet_tpu.utils.latency import scanned_ms
+
+    w = jax.random.normal(jax.random.key(0), (3, 3, 1, 8), jnp.float32)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+
+    def conv_step(v):
+        y = jax.lax.conv_general_dilated(
+            v, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return v + (jnp.mean(y) * 0).astype(v.dtype)
+
+    t_conv = scanned_ms(conv_step, x, iters=8, reps=2)
+    t_id = scanned_ms(lambda v: v + 0.0, x, iters=8, reps=2)
+    assert t_conv > 3 * max(t_id, 1e-4), (t_conv, t_id)
