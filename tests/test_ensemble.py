@@ -124,3 +124,29 @@ def test_cli_spec_loads_ensemble(tmp_path):
     x = jax.random.normal(jax.random.key(4), (1, 16, 16, 16, 1))
     out = fused.apply_fn(fused.params, x)
     assert out.shape == (1, 16, 16, 16, 3)
+
+
+def test_ensemble_composes_with_tta():
+    """TTA over an ensemble == flip-average of the ensemble's mean
+    probabilities: softmax(tta(ensemble_apply)) must equal the manual
+    two-level average (flip outer, member inner) at bf16 tolerance."""
+    from runet_tpu.infer.tta import flip_combinations, make_tta_apply
+
+    b1, b2 = _bundle(0), _bundle(1)
+    ens = ensemble_bundle([b1, b2])
+    tta_fn = make_tta_apply(ens.apply_fn, (0, 1, 2))
+    x = jax.random.normal(jax.random.key(5), (1, 12, 12, 12, 1))
+
+    got = np.asarray(jax.nn.softmax(tta_fn(ens.params, x), -1))
+
+    combos = flip_combinations((1, 2, 3))
+    acc = np.zeros_like(got)
+    for axes in combos:
+        xw = jnp.flip(x, axes) if axes else x
+        p = (
+            jax.nn.softmax(b1.apply_fn(b1.params, xw).astype(jnp.float32), -1)
+            + jax.nn.softmax(b2.apply_fn(b2.params, xw).astype(jnp.float32), -1)
+        ) / 2
+        acc += np.asarray(jnp.flip(p, axes) if axes else p)
+    want = acc / len(combos)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=2e-3)
