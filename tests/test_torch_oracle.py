@@ -134,3 +134,41 @@ def test_unet_convtranspose_matches_torch_oracle():
     bh = np.asarray(params["Conv_0"]["bias"])
     want = (t @ _t(kh.reshape(kh.shape[-2], kh.shape[-1])) + _t(bh)).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dice_ce_loss_matches_torch_oracle():
+    """The one-pass gather-free Dice+CE (train/losses.py) against torch:
+    F.cross_entropy for CE and an explicit softmax soft-Dice — values AND
+    input gradients."""
+    import torch.nn.functional as F
+
+    from runet_tpu.train.losses import dice_ce_loss
+
+    rng = np.random.default_rng(2)
+    K = 4
+    logits = rng.normal(size=(2, 5, 6, 7, K)).astype(np.float32)
+    labels = rng.integers(0, K, size=(2, 5, 6, 7)).astype(np.int32)
+
+    import jax.numpy as jnp
+
+    loss_fn = lambda lg: dice_ce_loss(lg, labels)[0]  # noqa: E731
+    loss_j, grad_j = jax.value_and_grad(loss_fn)(jnp.asarray(logits))
+
+    t = torch.from_numpy(logits).requires_grad_(True)
+    lb = torch.from_numpy(labels.astype(np.int64))
+    ce = F.cross_entropy(t.permute(0, 4, 1, 2, 3), lb)
+    probs = torch.softmax(t, dim=-1)
+    onehot = F.one_hot(lb, K).float()
+    axes = (1, 2, 3)
+    smooth = 1e-5
+    inter = (probs * onehot).sum(dim=axes)
+    denom = probs.sum(dim=axes) + onehot.sum(dim=axes)
+    dice = (2 * inter + smooth) / (denom + smooth)
+    dl = 1 - dice[:, 1:].mean()
+    loss_t = dl + ce
+    loss_t.backward()
+
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grad_j), t.grad.numpy(), rtol=1e-4, atol=1e-6
+    )
