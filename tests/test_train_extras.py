@@ -255,3 +255,42 @@ def test_loop_steps_per_dispatch_validates_intervals(tmp_path):
     )
     with _pytest.raises(ValueError, match="steps_per_dispatch"):
         train(cfg, data_root=data, out_dir=tmp_path / "r", log_every=2)
+
+
+def test_loop_steps_per_dispatch_multidevice_tail(tmp_path):
+    """Chunked loop on a REAL 2-device mesh with a non-K-aligned step count:
+    the tail falls back to single dp steps on axis-0 slices of the
+    axis-1-sharded superbatch (train/loop.py) — params must match the
+    per-step dp loop draw-for-draw."""
+    import dataclasses
+    from pathlib import Path
+
+    from runet_tpu.config import Config, PreprocessConfig
+    from runet_tpu.data.phantom import write_phantom_dataset
+    from runet_tpu.parallel import comm
+    from runet_tpu.train.loop import train
+
+    data = tmp_path / "data"
+    write_phantom_dataset(Path(data), num_cases=1, shape=(24, 24, 16), spacing=(1.0, 1.0, 1.0))
+    base = Config(
+        model=ModelConfig(num_classes=2, base_features=4, num_levels=2,
+                          compute_dtype="float32"),
+        preprocess=PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None),
+        train=TrainConfig(patch_size=(8, 8, 8), batch_size=2, steps=3,
+                          lr=1e-2, warmup_steps=0, lr_schedule="const",
+                          val_every=100, ckpt_every=100, seed=13),
+    )
+    mesh = comm.make_mesh(2)
+    s1, _ = train(base, data_root=data, out_dir=tmp_path / "r1",
+                  log_every=100, mesh=mesh)
+    cfg2 = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, steps_per_dispatch=2)
+    )
+    mesh2 = comm.make_mesh(2)
+    s2, _ = train(cfg2, data_root=data, out_dir=tmp_path / "r2",
+                  log_every=100, mesh=mesh2)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
