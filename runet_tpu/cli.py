@@ -6,6 +6,8 @@ Reference form: ad-hoc scripts + notebooks (provenance [RECALL]). Commands:
 - ``train``     — train a preset config on a dataset
 - ``predict``   — segment cases (simple fine-model or full cascade)
 - ``evaluate``  — predict + Dice table against ground truth
+                  (``--surface`` adds hd95/assd/nsd + volumetry)
+- ``mesh``      — labelmap -> per-class STL/OBJ surfaces in world mm
 """
 
 from __future__ import annotations
@@ -250,8 +252,11 @@ def cmd_evaluate(args):
                 yield cid, vol, gt, predict_volume(fine, vol.data, vol.spacing)
 
     rows = []
-    for cid, _vol, gt, pred in results():
-        row = evaluate_prediction(pred, np.asarray(gt), fine.num_classes)
+    for cid, vol, gt, pred in results():
+        row = evaluate_prediction(
+            pred, np.asarray(gt), fine.num_classes,
+            spacing=vol.spacing, surface=args.surface,
+        )
         row["case_id"] = cid
         rows.append(row)
         print(json.dumps(row))
@@ -335,6 +340,29 @@ def cmd_visualize(args):
         print(f"{cid}: wrote {p}")
 
 
+def cmd_mesh(args):
+    """Labelmap NIfTI -> per-class surface meshes in world mm (eval/mesh.py
+    marching tetrahedra; vertices mapped through the NIfTI affine)."""
+    from runet_tpu.eval.mesh import labelmap_to_meshes, mesh_stats, write_obj, write_stl
+    from runet_tpu.io.nifti import load_volume
+
+    vol = load_volume(Path(args.labels))
+    classes = [int(c) for c in args.classes.split(",")]
+    meshes = labelmap_to_meshes(
+        vol.data, classes, affine=vol.affine, smooth_iters=args.smooth
+    )
+    out_dir = Path(args.out)
+    stem = Path(args.labels).name.replace(".nii.gz", "").replace(".nii", "")
+    writer = write_obj if args.format == "obj" else write_stl
+    for k, (verts, faces) in meshes.items():
+        p = writer(out_dir / f"{stem}_c{k}.{args.format}", verts, faces)
+        s = mesh_stats(verts, faces)
+        print(
+            f"class {k}: {p} ({s['n_faces']} faces, "
+            f"{s['volume'] / 1000.0:.1f} mL, {s['area'] / 100.0:.1f} cm^2)"
+        )
+
+
 def cmd_doctor(args):
     import json
 
@@ -404,6 +432,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
     sp.add_argument("--out", default=None, help="also write {cases, summary} JSON here")
+    sp.add_argument(
+        "--surface", action="store_true",
+        help="also report hd95/assd/nsd boundary metrics per class (slower)",
+    )
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser(
@@ -432,6 +464,16 @@ def build_parser() -> argparse.ArgumentParser:
         "checkpoints (SWA-style weight averaging) instead of the single best",
     )
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser(
+        "mesh", help="extract per-class surface meshes (STL/OBJ, world mm)"
+    )
+    sp.add_argument("--labels", required=True, help="labelmap .nii/.nii.gz (e.g. predict output)")
+    sp.add_argument("--out", required=True, help="output directory")
+    sp.add_argument("--classes", default="1,2", help="comma-separated class ids")
+    sp.add_argument("--format", choices=["stl", "obj"], default="stl")
+    sp.add_argument("--smooth", type=int, default=2, help="box-smoothing iterations before extraction")
+    sp.set_defaults(fn=cmd_mesh)
 
     sp = sub.add_parser("visualize", help="write PNG overlay panels per case")
     sp.add_argument("--data", required=True)

@@ -8,16 +8,32 @@ import time
 
 import numpy as np
 
+from runet_tpu.eval.surface import surface_metrics, volumetry
 from runet_tpu.train.losses import hard_dice_per_class, kits_composite_dice
 
 
-def evaluate_prediction(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> dict:
+def evaluate_prediction(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    num_classes: int,
+    spacing=None,
+    surface: bool = False,
+) -> dict:
+    """Per-class Dice + KiTS composite; with ``spacing`` also volumetry (mL),
+    and with ``surface=True`` per-foreground-class hd95/assd/nsd (see
+    eval/surface.py — spacing-aware boundary metrics, [DOMAIN])."""
     d = np.asarray(hard_dice_per_class(pred.astype(np.int32), gt.astype(np.int32), num_classes))
     comp = kits_composite_dice(pred.astype(np.int32), gt.astype(np.int32))
     out = {f"dice_c{k}": float(d[k]) for k in range(num_classes)}
     out["dice_fg_mean"] = float(d[1:].mean()) if num_classes > 1 else float(d.mean())
     out["kidney_composite"] = float(comp["kidney_composite"])
     out["tumor"] = float(comp["tumor"])
+    if spacing is not None:
+        out.update(volumetry(pred, spacing, num_classes))
+        if surface:
+            for k in range(1, num_classes):
+                sm = surface_metrics(pred == k, gt == k, spacing)
+                out.update({f"{name}_c{k}": v for name, v in sm.items()})
     return out
 
 

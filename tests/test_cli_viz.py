@@ -44,11 +44,32 @@ def test_cli_phantom_train_predict_evaluate(tmp_path, capsys, monkeypatch):
     pred = load_volume(preds / "case_00000.nii.gz")
     assert pred.shape == (40, 40, 24)
 
-    main(["evaluate", "--data", str(data), "--fine", str(run)])
+    main(["evaluate", "--data", str(data), "--fine", str(run), "--surface"])
     out = capsys.readouterr().out
     lines = [json.loads(l) for l in out.strip().splitlines()]
     assert "summary" in lines[-1]
     assert "dice_fg_mean" in lines[-1]["summary"]
+    # --surface adds boundary metrics + volumetry per foreground class
+    assert "hd95_c1" in lines[0] and "volume_ml_c1" in lines[0]
+
+
+def test_cli_mesh_export(tmp_path, capsys):
+    """mesh subcommand: labelmap NIfTI -> per-class STL in world mm."""
+    from runet_tpu.eval.mesh import read_stl
+    from runet_tpu.io.nifti import save_volume
+
+    _img, seg = make_phantom((32, 32, 24), num_classes=3, seed=1)
+    lab = tmp_path / "case.nii.gz"
+    save_volume(lab, seg.astype(np.uint8), spacing=(1.0, 1.0, 2.0))
+    out = tmp_path / "meshes"
+    main(["mesh", "--labels", str(lab), "--out", str(out), "--classes", "1,2"])
+    txt = capsys.readouterr().out
+    assert "class 1" in txt and "class 2" in txt
+    tri = read_stl(out / "case_c1.stl")
+    assert len(tri) > 10
+    # z spacing 2.0 carried through the affine: world z ~= 2x voxel z
+    zmax_voxel = np.argwhere(seg == 1)[:, 2].max()
+    assert tri[..., 2].max() == pytest.approx(2.0 * zmax_voxel, abs=4.0)
 
 
 def test_visualize_panel(tmp_path):
