@@ -340,6 +340,15 @@ def cmd_visualize(args):
         print(f"{cid}: wrote {p}")
 
 
+def cmd_curves(args):
+    from runet_tpu.eval.visualize import save_training_curves
+
+    run = Path(args.run)
+    out = Path(args.out) if args.out else run / "curves.png"
+    p = save_training_curves(run / "metrics.jsonl", out, title=run.name)
+    print(f"wrote {p}")
+
+
 def cmd_mesh(args):
     """Labelmap NIfTI -> per-class surface meshes in world mm (eval/mesh.py
     marching tetrahedra; vertices mapped through the NIfTI affine)."""
@@ -464,6 +473,11 @@ def build_parser() -> argparse.ArgumentParser:
         "checkpoints (SWA-style weight averaging) instead of the single best",
     )
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("curves", help="plot a run's learning curves to PNG")
+    sp.add_argument("--run", required=True, help="run dir containing metrics.jsonl")
+    sp.add_argument("--out", default=None, help="output PNG (default <run>/curves.png)")
+    sp.set_defaults(fn=cmd_curves)
 
     sp = sub.add_parser(
         "mesh", help="extract per-class surface meshes (STL/OBJ, world mm)"

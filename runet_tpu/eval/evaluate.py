@@ -37,9 +37,11 @@ def evaluate_prediction(
     return out
 
 
-def evaluate_cases(predict_fn, cases, num_classes: int) -> dict:
+def evaluate_cases(predict_fn, cases, num_classes: int, surface: bool = False) -> dict:
     """predict_fn(case) -> uint8 labels at native shape; ``cases`` are
-    PreparedCase-likes with .image/.labels or (image, gt) tuples."""
+    PreparedCase-likes with .image/.labels or (image, gt) tuples. Cases that
+    carry ``native_spacing`` also get volumetry (and boundary metrics with
+    ``surface=True``) — see evaluate_prediction."""
     rows = []
     t0 = time.monotonic()
     for case in cases:
@@ -47,10 +49,13 @@ def evaluate_cases(predict_fn, cases, num_classes: int) -> dict:
             cid, image, gt = None, case[0], case[1]
         else:
             cid, image, gt = case.case_id, case, case.labels
+        spacing = getattr(case, "native_spacing", None)
         t = time.monotonic()
         pred = predict_fn(case)
         dt = time.monotonic() - t
-        row = evaluate_prediction(pred, np.asarray(gt), num_classes)
+        row = evaluate_prediction(
+            pred, np.asarray(gt), num_classes, spacing=spacing, surface=surface
+        )
         row["case_id"] = cid
         row["seconds"] = dt
         rows.append(row)

@@ -24,6 +24,69 @@ _COLORS = np.array(
 )
 
 
+def save_training_curves(
+    metrics_path: str | Path, out_path: str | Path, title: str = ""
+) -> Path:
+    """Learning-curve panel from a run's metrics.jsonl (train/metrics.py).
+
+    The reference eyeballed training from notebook plots (SURVEY.md §5.5,
+    [RECALL]); this is the headless equivalent: loss terms, validation Dice,
+    and throughput vs step, one PNG.
+    """
+    import json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = [
+        json.loads(l)
+        for l in Path(metrics_path).read_text().splitlines()
+        if l.strip()
+    ]
+    series: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        for k, v in r.items():
+            if k in ("step", "wall_s") or not isinstance(v, (int, float)):
+                continue
+            series.setdefault(k, ([], []))
+            series[k][0].append(r["step"])
+            series[k][1].append(v)
+
+    groups = [
+        ("loss", [k for k in series if "loss" in k]),
+        ("validation Dice", [k for k in series if k.startswith("val_")]),
+        ("throughput", [k for k in series if "per_s" in k]),
+    ]
+    shown = {k for _, ks in groups for k in ks}
+    other = [k for k in series if k not in shown]
+    if other:
+        groups.append(("other", other))
+    groups = [(name, ks) for name, ks in groups if ks]
+
+    fig, axes = plt.subplots(1, max(len(groups), 1), figsize=(5 * max(len(groups), 1), 4))
+    axes = np.atleast_1d(axes)
+    for ax, (name, keys) in zip(axes, groups):
+        for k in sorted(keys):
+            xs, ys = series[k]
+            ax.plot(xs, ys, label=k, marker="." if len(xs) < 50 else None)
+        ax.set_xlabel("step")
+        ax.set_title(name, fontsize=10)
+        if name == "loss" and all(v > 0 for k in keys for v in series[k][1]):
+            ax.set_yscale("log")
+        ax.legend(fontsize=7)
+        ax.grid(True, alpha=0.3)
+    if title:
+        fig.suptitle(title)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return out_path
+
+
 def _window(img: np.ndarray, lo: float = -160.0, hi: float = 400.0) -> np.ndarray:
     x = np.clip(img.astype(np.float32), lo, hi)
     return (x - lo) / (hi - lo)

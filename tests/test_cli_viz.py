@@ -53,6 +53,23 @@ def test_cli_phantom_train_predict_evaluate(tmp_path, capsys, monkeypatch):
     assert "hd95_c1" in lines[0] and "volume_ml_c1" in lines[0]
 
 
+def test_cli_curves(tmp_path, capsys):
+    pytest.importorskip("matplotlib")
+    run = tmp_path / "run"
+    run.mkdir()
+    lines = []
+    for s in range(0, 100, 10):
+        lines.append(json.dumps({"step": s, "wall_s": s * 0.2, "loss": 2.0 / (s + 1),
+                                 "imgs_per_s": 4.0}))
+        if s % 20 == 0:
+            lines.append(json.dumps({"step": s, "wall_s": s * 0.2,
+                                     "val_dice": min(0.9, s / 100)}))
+    (run / "metrics.jsonl").write_text("\n".join(lines) + "\n")
+    main(["curves", "--run", str(run)])
+    assert "curves.png" in capsys.readouterr().out
+    assert (run / "curves.png").stat().st_size > 5000
+
+
 def test_cli_mesh_export(tmp_path, capsys):
     """mesh subcommand: labelmap NIfTI -> per-class STL in world mm."""
     from runet_tpu.eval.mesh import read_stl
