@@ -106,6 +106,12 @@ class TrainConfig:
     # flip/rot90/zoom/intensity set is the verified [DOMAIN] baseline;
     # opt in per-experiment.
     elastic: bool = False
+    # Tversky FP/FN weights for the overlap term of the compound loss
+    # (train/losses.py). 0.5/0.5 IS soft Dice (identical expression);
+    # beta > alpha up-weights false negatives — the recall knob for thin
+    # structures (renal_anatomy artery/vein) [DOMAIN].
+    tversky_alpha: float = 0.5
+    tversky_beta: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

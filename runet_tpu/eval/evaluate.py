@@ -8,7 +8,7 @@ import time
 
 import numpy as np
 
-from runet_tpu.eval.surface import surface_metrics, volumetry
+from runet_tpu.eval.surface import cl_dice, surface_metrics, volumetry
 from runet_tpu.train.losses import hard_dice_per_class, kits_composite_dice
 
 
@@ -34,6 +34,7 @@ def evaluate_prediction(
             for k in range(1, num_classes):
                 sm = surface_metrics(pred == k, gt == k, spacing)
                 out.update({f"{name}_c{k}": v for name, v in sm.items()})
+                out[f"cldice_c{k}"] = cl_dice(pred == k, gt == k)
     return out
 
 

@@ -38,6 +38,7 @@ def surface_distances(
     in physical units (mm when ``spacing`` is mm/voxel)."""
     pred = np.asarray(pred, bool)
     gt = np.asarray(gt, bool)
+    pred, gt = _crop_to_union(pred, gt)
     bp, bg = _boundary(pred), _boundary(gt)
     if not bp.any() and not bg.any():
         return np.zeros(1), np.zeros(1)
@@ -70,6 +71,64 @@ def surface_metrics(
         "assd": float(both.mean()),
         "nsd": float((both <= tolerance_mm).mean()),
     }
+
+
+def _crop_to_union(pred: np.ndarray, gt: np.ndarray, margin: int = 2):
+    """Crop both masks to the union bounding box (+margin). Surface-to-
+    surface distances and skeletons are unchanged by cropping as long as
+    both structures stay inside the window; this turns O(volume) morphology
+    into O(structure) — the difference between 0.1 s and 15 s per class on
+    a 512^3 CT."""
+    union = pred | gt
+    if not union.any():
+        return pred, gt
+    lo, hi = [], []
+    for ax in range(3):
+        other = tuple(a for a in range(3) if a != ax)
+        prof = union.any(axis=other)
+        nz = np.flatnonzero(prof)
+        lo.append(max(0, nz[0] - margin))
+        hi.append(min(union.shape[ax], nz[-1] + 1 + margin))
+    sl = tuple(slice(l, h) for l, h in zip(lo, hi))
+    return pred[sl], gt[sl]
+
+
+def morphological_skeleton(mask: np.ndarray) -> np.ndarray:
+    """Medial skeleton by iterative erosion: union over k of
+    erode^k(mask) - open(erode^k(mask)) (Lantuejoul's formula). Coarser
+    than a true thinning skeleton but topology-tracking enough for the
+    centerline-overlap metric below, with only scipy primitives."""
+    st = ndimage.generate_binary_structure(3, 1)
+    skel = np.zeros_like(mask, dtype=bool)
+    cur = np.asarray(mask, bool)
+    while cur.any():
+        opened = ndimage.binary_opening(cur, structure=st)
+        skel |= cur & ~opened
+        cur = ndimage.binary_erosion(cur, structure=st, border_value=0)
+    return skel
+
+
+def cl_dice(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Centerline Dice (clDice, Shit et al., CVPR 2021): harmonic mean of
+    topology precision (skeleton(pred) inside gt) and topology sensitivity
+    (skeleton(gt) inside pred). The vessel-class metric the renal-anatomy
+    configs need — a broken artery barely moves voxel Dice but collapses
+    the centerline hit rate. Conventions: both masks empty -> 1.0; exactly
+    one empty -> 0.0."""
+    pred = np.asarray(pred, bool)
+    gt = np.asarray(gt, bool)
+    if not pred.any() and not gt.any():
+        return 1.0
+    if not pred.any() or not gt.any():
+        return 0.0
+    pred, gt = _crop_to_union(pred, gt)
+    sp = morphological_skeleton(pred)
+    sg = morphological_skeleton(gt)
+    tprec = (sp & gt).sum() / max(int(sp.sum()), 1)
+    tsens = (sg & pred).sum() / max(int(sg.sum()), 1)
+    if tprec + tsens == 0:
+        return 0.0
+    return float(2.0 * tprec * tsens / (tprec + tsens))
 
 
 def volumetry(labels: np.ndarray, spacing, num_classes: int) -> dict:

@@ -45,16 +45,20 @@ def _sharded_step_fn(
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
+    loss_kwargs: dict | None = None,
 ):
     """Raw shard_map step shared by ``make_dp_train_step`` (one dispatch per
     step) and ``make_dp_multi_train_step`` (scan of K steps per dispatch)."""
     from runet_tpu.data.augment import augment_one
 
     axes = data_axes(mesh)
+    loss_kwargs = loss_kwargs or {}
 
     def loss_fn(params, images, labels):
         logits = model.apply({"params": params}, images)
-        loss, aux = dice_ce_loss(logits, labels, include_background=include_background_dice)
+        loss, aux = dice_ce_loss(
+            logits, labels, include_background=include_background_dice, **loss_kwargs
+        )
         return loss, aux
 
     in_specs = (P(), P(axes), P(axes)) + ((P(axes),) if augment else ())
@@ -93,6 +97,7 @@ def make_dp_train_step(
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
+    loss_kwargs: dict | None = None,
 ):
     """Returns a jitted step: (state, images(B,...), labels(B,...)[, keys])
     -> (state, aux). ``keys`` (required iff ``augment``) is the
@@ -105,7 +110,7 @@ def make_dp_train_step(
     applied identically everywhere (params stay replicated).
     """
     sharded_step = _sharded_step_fn(
-        model, mesh, include_background_dice, augment, elastic
+        model, mesh, include_background_dice, augment, elastic, loss_kwargs
     )
     return jax.jit(sharded_step, donate_argnums=(0,))
 
@@ -117,6 +122,7 @@ def make_dp_multi_train_step(
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
+    loss_kwargs: dict | None = None,
 ):
     """K shard_map micro-steps in ONE dispatch (``lax.scan`` outside the
     shard_map; see train/state.py ``make_multi_train_step`` for why).
@@ -128,7 +134,7 @@ def make_dp_multi_train_step(
     draw-for-draw. ``aux`` scalars are chunk means.
     """
     sharded_step = _sharded_step_fn(
-        model, mesh, include_background_dice, augment, elastic
+        model, mesh, include_background_dice, augment, elastic, loss_kwargs
     )
 
     def multi(state, images, labels, *maybe_keys):

@@ -187,23 +187,31 @@ def train(
                 f"steps_per_dispatch={K} requires intervals divisible by it; "
                 f"got {bad}"
             )
+    loss_kw = {
+        "tversky_alpha": cfg.train.tversky_alpha,
+        "tversky_beta": cfg.train.tversky_beta,
+    }
     if n_dev > 1:
         train_step = make_dp_train_step(
-            step_model, mesh, augment=cfg.train.augment, elastic=cfg.train.elastic
+            step_model, mesh, augment=cfg.train.augment, elastic=cfg.train.elastic,
+            loss_kwargs=loss_kw,
         )
         if K > 1:
             multi_step = make_dp_multi_train_step(
                 step_model, mesh, K,
                 augment=cfg.train.augment, elastic=cfg.train.elastic,
+                loss_kwargs=loss_kw,
             )
     else:
         train_step = make_train_step(
-            step_model, augment=cfg.train.augment, elastic=cfg.train.elastic
+            step_model, augment=cfg.train.augment, elastic=cfg.train.elastic,
+            loss_kwargs=loss_kw,
         )
         if K > 1:
             multi_step = make_multi_train_step(
                 step_model, K,
                 augment=cfg.train.augment, elastic=cfg.train.elastic,
+                loss_kwargs=loss_kw,
             )
     eval_step = make_eval_step(model, cfg.model.num_classes)
 

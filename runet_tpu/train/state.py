@@ -61,16 +61,22 @@ def _train_step_fn(
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
+    loss_kwargs: dict | None = None,
 ):
     """Raw (unjitted) micro-step body shared by ``make_train_step`` (one
     dispatch per step) and ``make_multi_train_step`` (lax.scan of K steps
-    per dispatch)."""
+    per dispatch). ``loss_kwargs`` forwards static knobs to dice_ce_loss
+    (e.g. tversky_alpha/beta from TrainConfig)."""
     from runet_tpu.data.augment import augment_one
     from runet_tpu.train.losses import dice_ce_loss
 
+    loss_kwargs = loss_kwargs or {}
+
     def loss_fn(params, images, labels):
         logits = model.apply({"params": params}, images)
-        loss, aux = dice_ce_loss(logits, labels, include_background=include_background_dice)
+        loss, aux = dice_ce_loss(
+            logits, labels, include_background=include_background_dice, **loss_kwargs
+        )
         return loss, aux
 
     num_classes = model.cfg.num_classes
@@ -107,6 +113,7 @@ def make_train_step(
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
+    loss_kwargs: dict | None = None,
 ):
     """Single fused step: (augment→)fwd+bwd+update in ONE jitted program,
     with donated state. One device program per step matters doubly here:
@@ -117,7 +124,9 @@ def make_train_step(
     batch carries a ``data``-axis NamedSharding (parallel/comm.py) — XLA
     inserts the gradient all-reduce (SURVEY.md §3.1 rebuild equivalent).
     """
-    train_step = _train_step_fn(model, include_background_dice, augment, elastic)
+    train_step = _train_step_fn(
+        model, include_background_dice, augment, elastic, loss_kwargs
+    )
     # Donate the state only: the batch arrives in compact transfer dtypes
     # (f16/uint8) and is upcast on device, so donating it can never be
     # honored — XLA logs "donated buffers were not usable" every step and
@@ -134,6 +143,7 @@ def make_multi_train_step(
     include_background_dice: bool = False,
     augment: bool = False,
     elastic: bool = False,
+    loss_kwargs: dict | None = None,
 ):
     """K micro-steps in ONE dispatch: ``lax.scan`` over the raw step body.
 
@@ -149,7 +159,7 @@ def make_multi_train_step(
     ``make_train_step`` (asserted in tests/test_train_extras.py). ``aux``
     scalars are means over the chunk (grad_norm included).
     """
-    step = _train_step_fn(model, include_background_dice, augment, elastic)
+    step = _train_step_fn(model, include_background_dice, augment, elastic, loss_kwargs)
 
     if augment:
 

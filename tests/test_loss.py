@@ -116,3 +116,86 @@ def test_dice_ce_matches_gather_reference():
     g_new = jax.grad(lambda lg: dice_ce_loss(lg, labels)[0])(logits)
     g_ref = jax.grad(lambda lg: reference(lg, labels))(logits)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-7)
+
+
+def test_tversky_default_is_exactly_soft_dice():
+    """alpha=beta=0.5 must take the bit-identical soft-Dice branch (the
+    static default path in dice_ce_loss) — same value, same gradients."""
+    import jax
+
+    from runet_tpu.train.losses import dice_ce_loss
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, size=(2, 4, 4, 4)).astype(np.int32))
+    l_a, _ = dice_ce_loss(logits, labels)
+    l_b, _ = dice_ce_loss(logits, labels, tversky_alpha=0.5, tversky_beta=0.5)
+    assert float(l_a) == float(l_b)
+    g_a = jax.grad(lambda lg: dice_ce_loss(lg, labels)[0])(logits)
+    g_b = jax.grad(
+        lambda lg: dice_ce_loss(lg, labels, tversky_alpha=0.5, tversky_beta=0.5)[0]
+    )(logits)
+    np.testing.assert_array_equal(np.asarray(g_a), np.asarray(g_b))
+
+
+def test_tversky_beta_weights_false_negatives():
+    """With beta > alpha, an under-segmenting prediction (false negatives)
+    must cost more than the mirror over-segmenting one (false positives of
+    the same count); at 0.5/0.5 the two cost the same by symmetry."""
+    from runet_tpu.train.losses import dice_ce_loss
+
+    gt = np.zeros((1, 8, 8, 8), np.int32)
+    gt[0, 2:6, 2:6, 2:6] = 1  # 64 fg voxels
+    under = gt.copy()
+    under[0, 2:6, 2:6, 2:4] = 0  # drop 32 fg -> 32 FN
+    over = gt.copy()
+    over[0, 2:6, 2:6, 6:8] = 1  # add 32 fg -> 32 FP
+
+    # Analytic (hard one-hot probs, smooth ~ 0): T = I/(I + a*FP + b*FN);
+    # under: I=32, FN=32 -> loss = b/(1+b); over: I=64, FP=32 -> a/(2+a).
+    gt_j = jnp.asarray(gt)
+
+    def losses(a, b):
+        kw = dict(tversky_alpha=a, tversky_beta=b, ce_weight=0.0)
+        lu, _ = dice_ce_loss(_logits_for(jnp.asarray(under), 2), gt_j, **kw)
+        lo, _ = dice_ce_loss(_logits_for(jnp.asarray(over), 2), gt_j, **kw)
+        return float(lu), float(lo)
+
+    lu, lo = losses(0.3, 0.7)
+    np.testing.assert_allclose(lu, 0.7 / 1.7, rtol=1e-4)
+    np.testing.assert_allclose(lo, 0.3 / 2.3, rtol=1e-4)
+    assert lu > lo  # recall-weighted: missing voxels costs more
+    lu_f, lo_f = losses(0.7, 0.3)
+    assert lo_f > lu_f  # precision-weighted: the ordering flips
+
+
+def test_tversky_threads_through_train_step():
+    """TrainConfig.tversky_* reaches the jitted step via loss_kwargs and
+    changes the loss value (same data, same params, different alpha/beta)."""
+    import jax
+
+    from runet_tpu.config import ModelConfig
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.train.state import create_train_state, make_train_step
+    from runet_tpu.config import TrainConfig
+
+    cfg = ModelConfig(num_classes=2, base_features=4, num_levels=2,
+                      compute_dtype="float32")
+    model = UNet3D(cfg)
+    params = init_params(model, jax.random.key(0), (16, 16, 16))
+    tcfg = TrainConfig(patch_size=(16, 16, 16), batch_size=1)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    lab = jnp.asarray((rng.random((1, 16, 16, 16)) < 0.2).astype(np.int32))
+
+    losses = {}
+    for name, kw in [("dice", None),
+                     ("tversky", {"tversky_alpha": 0.3, "tversky_beta": 0.7})]:
+        # fresh param copy per state: the jitted step donates the state,
+        # which would delete buffers shared with the next iteration
+        p = jax.tree_util.tree_map(jnp.array, params)
+        state = create_train_state(model, p, tcfg)
+        step = make_train_step(model, loss_kwargs=kw)
+        _, aux = step(state, img, lab)
+        losses[name] = float(aux["loss"])
+    assert losses["dice"] != losses["tversky"]

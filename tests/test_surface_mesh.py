@@ -202,3 +202,73 @@ def test_labelmap_to_meshes_per_class():
     # bound the class-2 ball between half and 1.1x its voxel count
     n2 = int((labels == 2).sum())
     assert 0.5 * n2 < v2 < 1.1 * n2
+
+
+# ---------------------------------------------------------------- clDice
+
+
+def _tube(shape=(40, 16, 16), x0=4, x1=36, c=(8, 8), r=2.5):
+    m = np.zeros(shape, bool)
+    yy, zz = np.mgrid[: shape[1], : shape[2]]
+    disk = (yy - c[0]) ** 2 + (zz - c[1]) ** 2 <= r * r
+    m[x0:x1] = disk
+    return m
+
+
+def test_cldice_identical_and_empty():
+    from runet_tpu.eval.surface import cl_dice
+
+    t = _tube()
+    assert cl_dice(t, t) == 1.0
+    e = np.zeros_like(t)
+    assert cl_dice(e, e) == 1.0
+    assert cl_dice(e, t) == 0.0 and cl_dice(t, e) == 0.0
+
+
+def test_cldice_thickness_invariant_but_dice_is_not():
+    """A vessel segmented too thick: voxel Dice drops hard, centerline Dice
+    stays high — the reason clDice exists for artery/vein classes."""
+    from scipy import ndimage
+
+    from runet_tpu.eval.surface import cl_dice
+    from runet_tpu.train.losses import hard_dice_per_class
+
+    gt = _tube(r=1.5)
+    pred = ndimage.binary_dilation(gt, iterations=2)  # same centerline, fat
+    dice = float(
+        hard_dice_per_class(pred.astype(np.int32), gt.astype(np.int32), 2)[1]
+    )
+    cld = cl_dice(pred, gt)
+    assert dice < 0.6
+    assert cld > 0.9
+    assert cld > dice + 0.3
+
+
+def test_cldice_penalizes_missing_branch():
+    """Dropping a whole branch of equal caliber halves topology
+    sensitivity; a spurious extra branch halves topology precision."""
+    from runet_tpu.eval.surface import cl_dice
+
+    main = _tube((40, 24, 16), c=(6, 8))
+    branch = _tube((40, 24, 16), c=(17, 8))
+    gt = main | branch
+    assert 0.4 < cl_dice(main, gt) < 0.75  # missing branch
+    assert 0.4 < cl_dice(gt, main) < 0.75  # hallucinated branch
+
+
+def test_morphological_skeleton_of_thin_line_is_itself():
+    from runet_tpu.eval.surface import morphological_skeleton
+
+    m = np.zeros((20, 9, 9), bool)
+    m[2:18, 4, 4] = True
+    s = morphological_skeleton(m)
+    assert (s == m).all()
+
+
+def test_evaluate_prediction_surface_includes_cldice():
+    from runet_tpu.eval.evaluate import evaluate_prediction
+
+    gt = np.zeros((24, 24, 24), np.uint8)
+    gt[4:20, 10:14, 10:14] = 1
+    row = evaluate_prediction(gt, gt, 2, spacing=(1, 1, 1), surface=True)
+    assert row["cldice_c1"] == 1.0
