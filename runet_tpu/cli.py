@@ -8,6 +8,7 @@ Reference form: ad-hoc scripts + notebooks (provenance [RECALL]). Commands:
 - ``evaluate``  — predict + Dice table against ground truth
                   (``--surface`` adds hd95/assd/nsd + volumetry)
 - ``mesh``      — labelmap -> per-class STL/OBJ surfaces in world mm
+- ``serve``     — watch-folder serving daemon (predict + report + meshes)
 """
 
 from __future__ import annotations
@@ -221,6 +222,99 @@ def cmd_predict(args):
                 emit(cid, vol, predict_volume(fine, vol.data, vol.spacing))
 
 
+def cmd_serve(args):
+    """Watch-folder serving daemon: new ``*.nii[.gz]`` files appearing in
+    --watch are segmented through the pipelined cascade (or whole-volume
+    fine model), each emitting <cid>.nii.gz + a <cid>.json report (latency,
+    per-structure volumetry) and optionally per-class STL meshes. ``--once``
+    drains the current backlog and exits (batch mode / tests). A file that
+    fails to parse (e.g. still being copied in) is retried on the next poll
+    — output existence is the done-marker, so restarts are idempotent."""
+    import time
+    from collections import deque
+
+    from runet_tpu.eval.surface import volumetry
+    from runet_tpu.infer.cascade import predict_cases, predict_volume
+    from runet_tpu.io.nifti import load_volume, save_volume
+
+    fine, fine_cfg = _load_bundle_spec(args.fine, args.config)
+    coarse = None
+    if args.coarse:
+        coarse, _ = _load_bundle_spec(args.coarse)
+    if args.tta:
+        fine = _with_tta(fine)
+    watch, out_dir = Path(args.watch), Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    mesh_classes = (
+        [int(c) for c in args.mesh_classes.split(",")] if args.mesh_classes else []
+    )
+
+    def pending():
+        for p in sorted(watch.glob("*.nii*")):
+            cid = p.name.replace(".nii.gz", "").replace(".nii", "")
+            if not (out_dir / f"{cid}.nii.gz").exists():
+                yield cid, p
+
+    def load_ok(path: Path):
+        try:
+            return load_volume(path)
+        except Exception as e:  # partial upload, bad header — retry next poll
+            print(f"{path.name}: unreadable ({e}); will retry", file=sys.stderr)
+            return None
+
+    def emit(cid, vol, pred, dt):
+        save_volume(out_dir / f"{cid}.nii.gz", pred, vol.spacing, vol.affine)
+        report = {
+            "case_id": cid,
+            "seconds": round(dt, 3),
+            "shape": list(vol.data.shape),
+            **volumetry(pred, vol.spacing, fine.num_classes),
+        }
+        if mesh_classes:
+            from runet_tpu.eval.mesh import labelmap_to_meshes, write_stl
+
+            meshes = labelmap_to_meshes(pred, mesh_classes, affine=vol.affine)
+            for k, (verts, faces) in meshes.items():
+                report[f"mesh_c{k}"] = str(
+                    write_stl(out_dir / f"{cid}_c{k}.stl", verts, faces)
+                )
+        (out_dir / f"{cid}.json").write_text(json.dumps(report, indent=1) + "\n")
+        print(f"{cid}: segmented in {dt:.2f}s -> {out_dir / f'{cid}.nii.gz'}", flush=True)
+
+    def drain(paths):
+        if coarse is not None:
+            meta: deque = deque()
+
+            def gen():  # lazy load: predict_cases holds <= workers+1 in RAM
+                for cid, p in paths:
+                    vol = load_ok(p)
+                    if vol is None:
+                        continue
+                    meta.append((cid, vol, time.monotonic()))
+                    yield vol.data, vol.spacing
+
+            for pred in predict_cases(
+                coarse, fine, gen(), fine_cfg.cascade, workers=args.workers
+            ):
+                cid, vol, t0 = meta.popleft()
+                emit(cid, vol, pred, time.monotonic() - t0)
+        else:
+            for cid, p in paths:
+                vol = load_ok(p)
+                if vol is None:
+                    continue
+                t0 = time.monotonic()
+                pred = predict_volume(fine, vol.data, vol.spacing)
+                emit(cid, vol, pred, time.monotonic() - t0)
+
+    print(f"serving: watching {watch} -> {out_dir}", flush=True)
+    while True:
+        drain(list(pending()))
+        if args.once:
+            break
+        time.sleep(args.poll)
+
+
 def cmd_evaluate(args):
     from runet_tpu.eval.evaluate import evaluate_prediction
     from runet_tpu.infer.cascade import predict_volume
@@ -432,6 +526,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser(
+        "serve", help="watch-folder serving daemon (predict + report + meshes)"
+    )
+    sp.add_argument("--watch", required=True, help="directory to watch for *.nii[.gz]")
+    sp.add_argument("--out", required=True, help="output directory (also the done-marker)")
+    sp.add_argument("--fine", required=True)
+    sp.add_argument("--coarse", default=None)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--tta", action="store_true")
+    sp.add_argument("--workers", type=int, default=2)
+    sp.add_argument("--poll", type=float, default=2.0, help="rescan interval seconds")
+    sp.add_argument("--once", action="store_true", help="drain current backlog and exit")
+    sp.add_argument(
+        "--mesh-classes", default=None,
+        help="also write per-class STL meshes for these comma-separated ids",
+    )
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("evaluate", help="predict + Dice vs ground truth")
     sp.add_argument("--data", required=True)

@@ -53,6 +53,58 @@ def test_cli_phantom_train_predict_evaluate(tmp_path, capsys, monkeypatch):
     assert "hd95_c1" in lines[0] and "volume_ml_c1" in lines[0]
 
 
+def test_cli_serve_once(tmp_path, capsys):
+    """serve --once drains a watch folder: labels NIfTI + JSON report (+ STL
+    when --mesh-classes), idempotent on re-run, unreadable files skipped."""
+    from runet_tpu.config import Config, ModelConfig, PreprocessConfig, TrainConfig
+    from runet_tpu.train.loop import train
+
+    data = tmp_path / "data"
+    run = tmp_path / "run"
+    main(["phantom", "--out", str(data), "--cases", "2", "--shape", "32", "32", "24"])
+    cfg = Config(
+        model=ModelConfig(num_classes=3, base_features=4, num_levels=2),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=TrainConfig(patch_size=(16, 16, 16), batch_size=1, steps=4,
+                          val_every=2, ckpt_every=2, warmup_steps=0),
+    )
+    train(cfg, data_root=data, out_dir=run, max_steps=4, log_every=2)
+    capsys.readouterr()
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    import shutil
+
+    for case_dir in sorted(data.iterdir()):
+        img = case_dir / "imaging.nii.gz"
+        if img.exists():
+            shutil.copy(img, watch / f"{case_dir.name}.nii.gz")
+    (watch / "broken.nii.gz").write_bytes(b"not a nifti")
+
+    out = tmp_path / "served"
+    main([
+        "serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+        "--once", "--mesh-classes", "1",
+    ])
+    txt = capsys.readouterr()
+    assert (out / "case_00000.nii.gz").exists()
+    assert (out / "case_00001.nii.gz").exists()
+    assert not (out / "broken.nii.gz").exists()
+    assert "broken" in txt.err  # unreadable file reported, not fatal
+    rep = json.loads((out / "case_00000.json").read_text())
+    assert rep["case_id"] == "case_00000" and rep["seconds"] > 0
+    assert "volume_ml_c1" in rep and (out / "case_00000_c1.stl").exists()
+
+    # idempotent: second --once pass reprocesses nothing
+    mtime = (out / "case_00000.nii.gz").stat().st_mtime_ns
+    main([
+        "serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+        "--once",
+    ])
+    capsys.readouterr()
+    assert (out / "case_00000.nii.gz").stat().st_mtime_ns == mtime
+
+
 def test_cli_curves(tmp_path, capsys):
     pytest.importorskip("matplotlib")
     run = tmp_path / "run"
