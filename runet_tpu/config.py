@@ -56,6 +56,12 @@ class ModelConfig:
     # Also: fused+remat compiles batch-2 at 128³ where plain XLA+remat
     # fails to compile.
     fused_blocks_train: bool = True
+    # Deep supervision (nnU-Net-lineage [DOMAIN], opt-in): aux 1×1×1 logits
+    # heads at decoder levels 1-2 train against 2×/4×-downsampled labels
+    # with halving weights (train/losses.py deep_supervised_loss). The aux
+    # heads exist in the param tree whenever this is on; inference calls
+    # ignore them (dead-code-eliminated), so serving is unchanged.
+    deep_supervision: bool = False
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Mesh axis name for spatial-partition inference (norm moments pmean'd

@@ -255,7 +255,14 @@ class UNet3D(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deep_outputs: bool = False):
+        """``deep_outputs=True`` (training with cfg.deep_supervision) also
+        returns aux logits from decoder levels 1..2 as a list ordered by
+        level — [(stride 2), (stride 4)] where depth allows. The aux heads'
+        params are created whenever cfg.deep_supervision is on, regardless
+        of ``deep_outputs`` (one checkpoint-stable tree across the train and
+        serving call modes); on the default call their outputs are unused
+        and XLA dead-code-eliminates them, so inference pays nothing."""
         cfg = self.cfg
         divisor = 2 ** (cfg.num_levels - 1)
         bad = [d for d in x.shape[1:4] if d % divisor != 0]
@@ -293,10 +300,13 @@ class UNet3D(nn.Module):
             if lvl < len(feats) - 1:
                 skips.append(x)
 
+        aux = []
         for lvl in reversed(range(len(feats) - 1)):
             x = dec_cls(
                 feats[lvl], upsample_mode=cfg.upsample_mode, name=f"dec{lvl}", **kw
             )(x, skips[lvl])
+            if cfg.deep_supervision and 1 <= lvl <= 2:
+                aux.append(_Head(cfg.num_classes, param_dtype, name=f"ds{lvl}")(x))
 
         # 1×1×1 head as an explicit flattened GEMM. With fused blocks in the
         # graph, a (D,H,W)-shaped 1×1 conv inherits whatever exotic layout
@@ -309,6 +319,10 @@ class UNet3D(nn.Module):
         # param module/name/shapes replicate the previous
         # nn.Conv(name="Conv_0") exactly, so checkpoints are stable.
         logits = _Head(cfg.num_classes, param_dtype, name="Conv_0")(x)
+        if deep_outputs and cfg.deep_supervision:
+            # aux was appended deepest-first; reorder to [level1, level2]
+            # (stride 2**level) for the loss weighting.
+            return logits, aux[::-1]
         return logits
 
 

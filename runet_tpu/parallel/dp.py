@@ -53,8 +53,19 @@ def _sharded_step_fn(
 
     axes = data_axes(mesh)
     loss_kwargs = loss_kwargs or {}
+    deep = getattr(model.cfg, "deep_supervision", False)
 
     def loss_fn(params, images, labels):
+        if deep:
+            from runet_tpu.train.losses import deep_supervised_loss
+
+            logits, aux_logits = model.apply(
+                {"params": params}, images, deep_outputs=True
+            )
+            return deep_supervised_loss(
+                logits, aux_logits, labels,
+                include_background=include_background_dice, **loss_kwargs,
+            )
         logits = model.apply({"params": params}, images)
         loss, aux = dice_ce_loss(
             logits, labels, include_background=include_background_dice, **loss_kwargs

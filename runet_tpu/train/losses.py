@@ -108,6 +108,38 @@ def dice_ce_loss(
     return loss, {"loss": loss, "dice_loss": dl, "ce_loss": ce}
 
 
+def deep_supervised_loss(
+    logits: jnp.ndarray,
+    aux_logits: list,
+    labels: jnp.ndarray,
+    include_background: bool = False,
+    **loss_kwargs,
+) -> tuple[jnp.ndarray, dict]:
+    """Multi-scale compound loss (deep supervision, nnU-Net lineage
+    [DOMAIN]): the full-resolution dice_ce_loss plus the same loss on each
+    aux head's logits against stride-sliced labels (nearest downsampling —
+    ``labels[::s]``), with halving weights (1, 1/2, 1/4) normalized to sum
+    to 1 so the loss scale matches the plain objective. ``aux_logits`` is
+    ordered [level1, level2] (stride 2**level), exactly what
+    ``UNet3D(..., deep_outputs=True)`` returns; empty list degrades to the
+    plain loss."""
+    total, aux = dice_ce_loss(
+        logits, labels, include_background=include_background, **loss_kwargs
+    )
+    weights = [1.0] + [0.5 ** (i + 1) for i in range(len(aux_logits))]
+    wsum = sum(weights)
+    total = total * (weights[0] / wsum)
+    for i, lg in enumerate(aux_logits):
+        stride = labels.shape[1] // lg.shape[1]
+        lab_s = labels[:, ::stride, ::stride, ::stride]
+        l_i, _ = dice_ce_loss(
+            lg, lab_s, include_background=include_background, **loss_kwargs
+        )
+        total = total + l_i * (weights[i + 1] / wsum)
+    aux = dict(aux, loss=total)
+    return total, aux
+
+
 @partial(jax.jit, static_argnames=("num_classes",))
 def hard_dice_per_class(
     pred_labels: jnp.ndarray, gt_labels: jnp.ndarray, num_classes: int

@@ -68,11 +68,20 @@ def _train_step_fn(
     per dispatch). ``loss_kwargs`` forwards static knobs to dice_ce_loss
     (e.g. tversky_alpha/beta from TrainConfig)."""
     from runet_tpu.data.augment import augment_one
-    from runet_tpu.train.losses import dice_ce_loss
+    from runet_tpu.train.losses import deep_supervised_loss, dice_ce_loss
 
     loss_kwargs = loss_kwargs or {}
+    deep = getattr(model.cfg, "deep_supervision", False)
 
     def loss_fn(params, images, labels):
+        if deep:
+            logits, aux_logits = model.apply(
+                {"params": params}, images, deep_outputs=True
+            )
+            return deep_supervised_loss(
+                logits, aux_logits, labels,
+                include_background=include_background_dice, **loss_kwargs,
+            )
         logits = model.apply({"params": params}, images)
         loss, aux = dice_ce_loss(
             logits, labels, include_background=include_background_dice, **loss_kwargs
