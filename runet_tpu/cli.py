@@ -223,18 +223,24 @@ def cmd_predict(args):
 
 
 def cmd_serve(args):
-    """Watch-folder serving daemon: new ``*.nii[.gz]`` files appearing in
-    --watch are segmented through the pipelined cascade (or whole-volume
-    fine model), each emitting <cid>.nii.gz + a <cid>.json report (latency,
-    per-structure volumetry) and optionally per-class STL meshes. ``--once``
-    drains the current backlog and exits (batch mode / tests). A file that
-    fails to parse (e.g. still being copied in) is retried on the next poll
-    — output existence is the done-marker, so restarts are idempotent."""
+    """Watch-folder serving daemon: new ``*.nii``/``*.nii.gz`` files
+    appearing in --watch are segmented through the pipelined cascade (or
+    whole-volume fine model), each emitting <cid>.nii.gz + a <cid>.json
+    report (intake-to-done latency incl. queueing, per-structure volumetry)
+    and optionally per-class STL meshes. ``--once`` drains the current
+    backlog and exits (batch mode / tests).
+
+    Failure containment: a file that fails to PARSE (partial upload) is
+    retried next poll; a case that fails to PREDICT poisons nothing — the
+    pipelined batch falls back to per-case processing and the bad case gets
+    a <cid>.failed.json marker (inspect + delete to retry) so it never
+    blocks later arrivals. The labelmap is renamed into place LAST, so
+    output existence == fully emitted and restarts are idempotent."""
+    import os
     import time
-    from collections import deque
 
     from runet_tpu.eval.surface import volumetry
-    from runet_tpu.infer.cascade import predict_cases, predict_volume
+    from runet_tpu.infer.cascade import predict_volume
     from runet_tpu.io.nifti import load_volume, save_volume
 
     fine, fine_cfg = _load_bundle_spec(args.fine, args.config)
@@ -250,9 +256,24 @@ def cmd_serve(args):
     )
 
     def pending():
-        for p in sorted(watch.glob("*.nii*")):
-            cid = p.name.replace(".nii.gz", "").replace(".nii", "")
-            if not (out_dir / f"{cid}.nii.gz").exists():
+        seen: dict[str, Path] = {}
+        for p in sorted(watch.iterdir()):
+            if p.name.endswith(".nii.gz"):
+                cid = p.name[: -len(".nii.gz")]
+            elif p.name.endswith(".nii"):
+                cid = p.name[: -len(".nii")]
+            else:
+                continue
+            if cid in seen:  # scan.nii next to scan.nii.gz: one cid
+                print(
+                    f"{p.name}: shadowed by {seen[cid].name} (same case id); "
+                    "rename to serve both", file=sys.stderr,
+                )
+                continue
+            seen[cid] = p
+            done = (out_dir / f"{cid}.nii.gz").exists()
+            failed = (out_dir / f"{cid}.failed.json").exists()
+            if not done and not failed:
                 yield cid, p
 
     def load_ok(path: Path):
@@ -263,10 +284,9 @@ def cmd_serve(args):
             return None
 
     def emit(cid, vol, pred, dt):
-        save_volume(out_dir / f"{cid}.nii.gz", pred, vol.spacing, vol.affine)
         report = {
             "case_id": cid,
-            "seconds": round(dt, 3),
+            "latency_s": round(dt, 3),  # intake -> done, incl. queue time
             "shape": list(vol.data.shape),
             **volumetry(pred, vol.spacing, fine.num_classes),
         }
@@ -279,33 +299,68 @@ def cmd_serve(args):
                     write_stl(out_dir / f"{cid}_c{k}.stl", verts, faces)
                 )
         (out_dir / f"{cid}.json").write_text(json.dumps(report, indent=1) + "\n")
+        # The labelmap is the done-marker: write to a temp name and rename
+        # into place only after the report/meshes exist (atomic on POSIX).
+        tmp = out_dir / f".{cid}.nii.gz.tmp"
+        save_volume(tmp, pred, vol.spacing, vol.affine)
+        os.replace(tmp, out_dir / f"{cid}.nii.gz")
         print(f"{cid}: segmented in {dt:.2f}s -> {out_dir / f'{cid}.nii.gz'}", flush=True)
 
+    def mark_failed(cid, err):
+        (out_dir / f"{cid}.failed.json").write_text(
+            json.dumps({"case_id": cid, "error": repr(err)}, indent=1) + "\n"
+        )
+        print(f"{cid}: FAILED ({err!r}); marker written, case skipped",
+              file=sys.stderr, flush=True)
+
+    def one_case(cid, p):
+        vol = load_ok(p)
+        if vol is None:
+            return
+        t0 = time.monotonic()
+        try:
+            if coarse is not None:
+                from runet_tpu.infer.cascade import predict_case
+
+                pred = predict_case(
+                    coarse, fine, vol.data, vol.spacing, fine_cfg.cascade
+                )
+            else:
+                pred = predict_volume(fine, vol.data, vol.spacing)
+            emit(cid, vol, pred, time.monotonic() - t0)
+        except Exception as e:
+            mark_failed(cid, e)
+
     def drain(paths):
-        if coarse is not None:
-            meta: deque = deque()
+        if coarse is None:
+            for cid, p in paths:
+                one_case(cid, p)
+            return
+        t_intake: dict[str, float] = {}
 
-            def gen():  # lazy load: predict_cases holds <= workers+1 in RAM
-                for cid, p in paths:
-                    vol = load_ok(p)
-                    if vol is None:
-                        continue
-                    meta.append((cid, vol, time.monotonic()))
-                    yield vol.data, vol.spacing
-
-            for pred in predict_cases(
-                coarse, fine, gen(), fine_cfg.cascade, workers=args.workers
-            ):
-                cid, vol, t0 = meta.popleft()
-                emit(cid, vol, pred, time.monotonic() - t0)
-        else:
+        def case_iter():  # lazy: _pipelined_cascade holds <= workers+1 in RAM
             for cid, p in paths:
                 vol = load_ok(p)
                 if vol is None:
                     continue
-                t0 = time.monotonic()
-                pred = predict_volume(fine, vol.data, vol.spacing)
-                emit(cid, vol, pred, time.monotonic() - t0)
+                t_intake[cid] = time.monotonic()
+                yield cid, vol, None
+
+        try:
+            for cid, vol, _gt, pred in _pipelined_cascade(
+                coarse, fine, case_iter(), fine_cfg.cascade, workers=args.workers
+            ):
+                emit(cid, vol, pred, time.monotonic() - t_intake[cid])
+        except Exception as e:
+            # One bad case aborts the shared pipeline; isolate it by
+            # re-running the remainder per-case (each in its own guard).
+            print(f"pipelined batch failed ({e!r}); retrying per-case",
+                  file=sys.stderr, flush=True)
+            for cid, p in paths:
+                if not (out_dir / f"{cid}.nii.gz").exists() and not (
+                    out_dir / f"{cid}.failed.json"
+                ).exists():
+                    one_case(cid, p)
 
     print(f"serving: watching {watch} -> {out_dir}", flush=True)
     while True:
@@ -345,11 +400,17 @@ def cmd_evaluate(args):
             for cid, vol, gt in labeled_cases():
                 yield cid, vol, gt, predict_volume(fine, vol.data, vol.spacing)
 
+    cldice_classes = None  # default: vessel classes (>= 3)
+    if args.cldice == "all":
+        cldice_classes = range(1, fine.num_classes)
+    elif args.cldice:
+        cldice_classes = [int(c) for c in args.cldice.split(",")]
     rows = []
     for cid, vol, gt, pred in results():
         row = evaluate_prediction(
             pred, np.asarray(gt), fine.num_classes,
             spacing=vol.spacing, surface=args.surface,
+            cldice_classes=cldice_classes,
         )
         row["case_id"] = cid
         rows.append(row)
@@ -556,6 +617,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--surface", action="store_true",
         help="also report hd95/assd/nsd boundary metrics per class (slower)",
+    )
+    sp.add_argument(
+        "--cldice", default=None,
+        help="with --surface: classes for centerline Dice — 'all', or comma "
+        "ids (default: vessel classes >= 3)",
     )
     sp.set_defaults(fn=cmd_evaluate)
 

@@ -18,10 +18,17 @@ def evaluate_prediction(
     num_classes: int,
     spacing=None,
     surface: bool = False,
+    cldice_classes=None,
 ) -> dict:
     """Per-class Dice + KiTS composite; with ``spacing`` also volumetry (mL),
     and with ``surface=True`` per-foreground-class hd95/assd/nsd (see
-    eval/surface.py — spacing-aware boundary metrics, [DOMAIN])."""
+    eval/surface.py — spacing-aware boundary metrics, [DOMAIN]).
+
+    ``cldice_classes``: which classes also get centerline Dice. Default
+    None = the tubular vessel classes (ids >= 3, artery/vein in the
+    renal_anatomy label convention) — clDice on a bulky organ is both
+    meaningless and expensive (the iterative skeleton erodes to the organ's
+    inradius). Pass an explicit iterable to override."""
     d = np.asarray(hard_dice_per_class(pred.astype(np.int32), gt.astype(np.int32), num_classes))
     comp = kits_composite_dice(pred.astype(np.int32), gt.astype(np.int32))
     out = {f"dice_c{k}": float(d[k]) for k in range(num_classes)}
@@ -31,18 +38,34 @@ def evaluate_prediction(
     if spacing is not None:
         out.update(volumetry(pred, spacing, num_classes))
         if surface:
+            cld = (
+                set(range(3, num_classes))
+                if cldice_classes is None
+                else set(cldice_classes)
+            )
             for k in range(1, num_classes):
                 sm = surface_metrics(pred == k, gt == k, spacing)
                 out.update({f"{name}_c{k}": v for name, v in sm.items()})
-                out[f"cldice_c{k}"] = cl_dice(pred == k, gt == k)
+                if k in cld:
+                    out[f"cldice_c{k}"] = cl_dice(pred == k, gt == k)
     return out
 
 
-def evaluate_cases(predict_fn, cases, num_classes: int, surface: bool = False) -> dict:
+def evaluate_cases(
+    predict_fn,
+    cases,
+    num_classes: int,
+    spacing=None,
+    surface: bool = False,
+) -> dict:
     """predict_fn(case) -> uint8 labels at native shape; ``cases`` are
-    PreparedCase-likes with .image/.labels or (image, gt) tuples. Cases that
-    carry ``native_spacing`` also get volumetry (and boundary metrics with
-    ``surface=True``) — see evaluate_prediction."""
+    PreparedCase-likes with .image/.labels or (image, gt) tuples.
+
+    ``spacing`` must be the voxel spacing of the grid the predictions/GT
+    masks live on (for PreparedCase inputs that is the PREPROCESS iso
+    spacing, NOT case.native_spacing — the masks were resampled); when
+    given, rows gain volumetry (and boundary metrics with ``surface=True``).
+    """
     rows = []
     t0 = time.monotonic()
     for case in cases:
@@ -50,7 +73,6 @@ def evaluate_cases(predict_fn, cases, num_classes: int, surface: bool = False) -
             cid, image, gt = None, case[0], case[1]
         else:
             cid, image, gt = case.case_id, case, case.labels
-        spacing = getattr(case, "native_spacing", None)
         t = time.monotonic()
         pred = predict_fn(case)
         dt = time.monotonic() - t

@@ -242,15 +242,24 @@ def labelmap_to_meshes(
 
     ``smooth_iters`` box-smooths the binary indicator before extraction
     (classic mesh anti-aliasing: the 0.5 iso-surface of the smoothed
-    indicator replaces voxel staircases with sub-voxel-accurate planes while
-    preserving topology at this radius). Returns {class_id: (verts, faces)}.
+    indicator replaces voxel staircases with sub-voxel-accurate planes).
+    Smoothing is adaptive per class: structures thinner than the smoothing
+    radius (a 2-voxel vessel drops below the 0.5 level after one 3^3 box
+    pass) are retried with fewer iterations, down to the raw staircase
+    surface — a non-empty mask NEVER yields an empty mesh. Returns
+    {class_id: (verts, faces)}.
     """
     from scipy import ndimage
 
     out = {}
     for k in classes:
-        m = (np.asarray(labels) == k).astype(np.float32)
-        for _ in range(max(0, smooth_iters)):
-            m = ndimage.uniform_filter(m, size=3, mode="constant")
-        out[int(k)] = extract_surface(m, level=0.5, affine=affine)
+        mask = (np.asarray(labels) == k).astype(np.float32)
+        for iters in range(max(0, smooth_iters), -1, -1):
+            m = mask
+            for _ in range(iters):
+                m = ndimage.uniform_filter(m, size=3, mode="constant")
+            verts, faces = extract_surface(m, level=0.5, affine=affine)
+            if len(faces) > 0 or not mask.any():
+                break
+        out[int(k)] = (verts, faces)
     return out

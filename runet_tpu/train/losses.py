@@ -122,21 +122,28 @@ def deep_supervised_loss(
     to 1 so the loss scale matches the plain objective. ``aux_logits`` is
     ordered [level1, level2] (stride 2**level), exactly what
     ``UNet3D(..., deep_outputs=True)`` returns; empty list degrades to the
-    plain loss."""
+    plain loss.
+
+    aux dict semantics: ``loss`` is the weighted multi-scale TOTAL;
+    ``dice_loss``/``ce_loss`` stay the UNWEIGHTED full-resolution components
+    (comparable across DS on/off runs); ``ds_aux_loss`` is the weighted aux
+    contribution, so loss == w0/W*(dice+ce terms) + ds_aux_loss."""
     total, aux = dice_ce_loss(
         logits, labels, include_background=include_background, **loss_kwargs
     )
     weights = [1.0] + [0.5 ** (i + 1) for i in range(len(aux_logits))]
     wsum = sum(weights)
     total = total * (weights[0] / wsum)
+    ds_aux = jnp.zeros((), jnp.float32)
     for i, lg in enumerate(aux_logits):
         stride = labels.shape[1] // lg.shape[1]
         lab_s = labels[:, ::stride, ::stride, ::stride]
         l_i, _ = dice_ce_loss(
             lg, lab_s, include_background=include_background, **loss_kwargs
         )
-        total = total + l_i * (weights[i + 1] / wsum)
-    aux = dict(aux, loss=total)
+        ds_aux = ds_aux + l_i * (weights[i + 1] / wsum)
+    total = total + ds_aux
+    aux = dict(aux, loss=total, ds_aux_loss=ds_aux)
     return total, aux
 
 

@@ -92,7 +92,7 @@ def test_cli_serve_once(tmp_path, capsys):
     assert not (out / "broken.nii.gz").exists()
     assert "broken" in txt.err  # unreadable file reported, not fatal
     rep = json.loads((out / "case_00000.json").read_text())
-    assert rep["case_id"] == "case_00000" and rep["seconds"] > 0
+    assert rep["case_id"] == "case_00000" and rep["latency_s"] > 0
     assert "volume_ml_c1" in rep and (out / "case_00000_c1.stl").exists()
 
     # idempotent: second --once pass reprocesses nothing
@@ -103,6 +103,67 @@ def test_cli_serve_once(tmp_path, capsys):
     ])
     capsys.readouterr()
     assert (out / "case_00000.nii.gz").stat().st_mtime_ns == mtime
+
+
+def test_cli_serve_isolates_predict_failures(tmp_path, capsys, monkeypatch):
+    """A case that parses but fails prediction gets a .failed.json marker
+    and never blocks later cases or re-runs (delete the marker to retry)."""
+    from runet_tpu.config import Config, ModelConfig, PreprocessConfig, TrainConfig
+    from runet_tpu.train.loop import train
+
+    data = tmp_path / "data"
+    run = tmp_path / "run"
+    main(["phantom", "--out", str(data), "--cases", "2", "--shape", "32", "32", "24"])
+    cfg = Config(
+        model=ModelConfig(num_classes=3, base_features=4, num_levels=2),
+        preprocess=PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None),
+        train=TrainConfig(patch_size=(16, 16, 16), batch_size=1, steps=2,
+                          val_every=2, ckpt_every=2, warmup_steps=0),
+    )
+    train(cfg, data_root=data, out_dir=run, max_steps=2, log_every=2)
+    capsys.readouterr()
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    import shutil
+
+    for case_dir in sorted(data.iterdir()):
+        img = case_dir / "imaging.nii.gz"
+        if img.exists():
+            shutil.copy(img, watch / f"{case_dir.name}.nii.gz")
+
+    import runet_tpu.infer.cascade as cascade_mod
+
+    real = cascade_mod.predict_volume
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("synthetic predict failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cascade_mod, "predict_volume", flaky)
+    out = tmp_path / "served"
+    main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+          "--once"])
+    err = capsys.readouterr().err
+    assert "FAILED" in err
+    assert (out / "case_00000.failed.json").exists()
+    assert not (out / "case_00000.nii.gz").exists()
+    assert (out / "case_00001.nii.gz").exists()  # later case unaffected
+
+    # failed case is not retried while the marker stands
+    main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+          "--once"])
+    capsys.readouterr()
+    assert calls["n"] == 2  # only the two original attempts
+    # operator deletes the marker -> retried and (unpatched count>1) succeeds
+    (out / "case_00000.failed.json").unlink()
+    main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+          "--once"])
+    capsys.readouterr()
+    assert (out / "case_00000.nii.gz").exists()
 
 
 def test_cli_curves(tmp_path, capsys):

@@ -270,5 +270,23 @@ def test_evaluate_prediction_surface_includes_cldice():
 
     gt = np.zeros((24, 24, 24), np.uint8)
     gt[4:20, 10:14, 10:14] = 1
-    row = evaluate_prediction(gt, gt, 2, spacing=(1, 1, 1), surface=True)
+    row = evaluate_prediction(
+        gt, gt, 2, spacing=(1, 1, 1), surface=True, cldice_classes=(1,)
+    )
     assert row["cldice_c1"] == 1.0
+    # default gating: clDice only for vessel classes (>= 3) — a 2-class
+    # model gets none (bulky-organ skeletons are slow and meaningless)
+    default = evaluate_prediction(gt, gt, 2, spacing=(1, 1, 1), surface=True)
+    assert "cldice_c1" not in default
+
+
+def test_labelmap_to_meshes_thin_structure_never_empty():
+    """A 2-voxel-thick vessel drops below the 0.5 iso-level after box
+    smoothing; adaptive fallback must still produce a surface."""
+    labels = np.zeros((30, 12, 12), np.uint8)
+    labels[4:26, 5:7, 5:7] = 3  # 2x2 cross-section "artery"
+    meshes = labelmap_to_meshes(labels, classes=[3], smooth_iters=2)
+    verts, faces = meshes[3]
+    assert len(faces) > 0
+    n = int((labels == 3).sum())
+    assert 0.4 * n < mesh_stats(verts, faces)["volume"] < 1.3 * n
