@@ -57,7 +57,11 @@ def _load_bundle(run_dir: Path, cfg_override: str | None = None):
         params = init_params(model, jax.random.key(0), cfg.train.patch_size)
         state = create_train_state(model, params, cfg.train)
         ckpt = CheckpointManager(run_dir / "ckpt")
-        step = ckpt.best_step() or ckpt.latest_step()
+        # `best or latest` would misroute a best step of 0 (falsy) to the
+        # LATEST checkpoint — real for smoke runs with val_every=1.
+        step = ckpt.best_step()
+        if step is None:
+            step = ckpt.latest_step()
         state = ckpt.restore(state, step=step)
         params = state.params
 
@@ -255,9 +259,13 @@ def cmd_serve(args):
         [int(c) for c in args.mesh_classes.split(",")] if args.mesh_classes else []
     )
 
+    warned_shadowed: set[tuple[str, str]] = set()
+
     def pending():
         seen: dict[str, Path] = {}
         for p in sorted(watch.iterdir()):
+            if p.name.startswith("."):
+                continue  # hidden/temp files (incl. our own when out==watch)
             if p.name.endswith(".nii.gz"):
                 cid = p.name[: -len(".nii.gz")]
             elif p.name.endswith(".nii"):
@@ -265,10 +273,12 @@ def cmd_serve(args):
             else:
                 continue
             if cid in seen:  # scan.nii next to scan.nii.gz: one cid
-                print(
-                    f"{p.name}: shadowed by {seen[cid].name} (same case id); "
-                    "rename to serve both", file=sys.stderr,
-                )
+                if (cid, p.name) not in warned_shadowed:  # once, not per poll
+                    warned_shadowed.add((cid, p.name))
+                    print(
+                        f"{p.name}: shadowed by {seen[cid].name} (same case id); "
+                        "rename to serve both", file=sys.stderr,
+                    )
                 continue
             seen[cid] = p
             done = (out_dir / f"{cid}.nii.gz").exists()
@@ -301,12 +311,18 @@ def cmd_serve(args):
         (out_dir / f"{cid}.json").write_text(json.dumps(report, indent=1) + "\n")
         # The labelmap is the done-marker: write to a temp name and rename
         # into place only after the report/meshes exist (atomic on POSIX).
-        tmp = out_dir / f".{cid}.nii.gz.tmp"
+        # The temp name must keep the .gz suffix — save_volume picks gzip
+        # by extension, and a ".tmp" suffix would silently write an
+        # uncompressed payload into a file later named *.nii.gz.
+        tmp = out_dir / f".{cid}.tmp.nii.gz"
         save_volume(tmp, pred, vol.spacing, vol.affine)
         os.replace(tmp, out_dir / f"{cid}.nii.gz")
         print(f"{cid}: segmented in {dt:.2f}s -> {out_dir / f'{cid}.nii.gz'}", flush=True)
 
+    failed_cids: set[str] = set()
+
     def mark_failed(cid, err):
+        failed_cids.add(cid)
         (out_dir / f"{cid}.failed.json").write_text(
             json.dumps({"case_id": cid, "error": repr(err)}, indent=1) + "\n"
         )
@@ -366,7 +382,9 @@ def cmd_serve(args):
     while True:
         drain(list(pending()))
         if args.once:
-            break
+            # Batch mode is scriptable (`serve --once && publish`): exit
+            # nonzero when any case wrote a .failed.json marker.
+            return 1 if failed_cids else 0
         time.sleep(args.poll)
 
 
@@ -400,7 +418,9 @@ def cmd_evaluate(args):
             for cid, vol, gt in labeled_cases():
                 yield cid, vol, gt, predict_volume(fine, vol.data, vol.spacing)
 
-    cldice_classes = None  # default: vessel classes (>= 3)
+    from runet_tpu.eval.evaluate import finite_mean, json_sanitize
+
+    cldice_classes = None  # default: vessel classes (>= 3) when --surface
     if args.cldice == "all":
         cldice_classes = range(1, fine.num_classes)
     elif args.cldice:
@@ -414,19 +434,22 @@ def cmd_evaluate(args):
         )
         row["case_id"] = cid
         rows.append(row)
-        print(json.dumps(row))
+        print(json.dumps(json_sanitize(row)))
     summary = None
     if rows:
+        # Finite-only means: one empty-prediction case has inf hd95/assd and
+        # must not erase every other case's summary value.
         summary = {
-            k: float(np.mean([r[k] for r in rows]))
+            k: finite_mean(r[k] for r in rows)
             for k in rows[0]
             if k != "case_id"
         }
-        print(json.dumps({"summary": summary}))
+        print(json.dumps(json_sanitize({"summary": summary})))
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         Path(args.out).write_text(
-            json.dumps({"cases": rows, "summary": summary}, indent=1) + "\n"
+            json.dumps(json_sanitize({"cases": rows, "summary": summary}), indent=1)
+            + "\n"
         )
         print(f"wrote {args.out}", file=sys.stderr)
 

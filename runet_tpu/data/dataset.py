@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import shutil
 from pathlib import Path
 
 import numpy as np
@@ -160,12 +162,21 @@ def prepare_case_cached(
                 fg_coords=fg,
             )
     pc = prepare_case(rec, pp)
-    d.mkdir(parents=True, exist_ok=True)
-    np.save(d / "image.npy", pc.image)
+    # Build the entry in a process-unique staging dir, then rename it into
+    # place: concurrent preparers (multi-host training sharing one --cache)
+    # each produce a complete candidate and the LAST atomic rename wins —
+    # readers can never mmap a torn image.npy or parse truncated meta.json.
+    # (meta.json presence implies the whole entry is complete because it is
+    # written before the directory becomes visible.)
+    stage = d.with_name(f".{d.name}.tmp.{os.getpid()}")
+    if stage.exists():
+        shutil.rmtree(stage)
+    stage.mkdir(parents=True)
+    np.save(stage / "image.npy", pc.image)
     if pc.labels is not None:
-        np.save(d / "labels.npy", pc.labels)
-        np.savez(d / "fg.npz", **{str(k): v for k, v in (pc.fg_coords or {}).items()})
-    meta_p.write_text(
+        np.save(stage / "labels.npy", pc.labels)
+        np.savez(stage / "fg.npz", **{str(k): v for k, v in (pc.fg_coords or {}).items()})
+    (stage / "meta.json").write_text(
         json.dumps(
             {
                 "pp_key": key,
@@ -175,6 +186,14 @@ def prepare_case_cached(
             }
         )
     )
+    if d.exists():  # a concurrent preparer (or stale config) got here first
+        shutil.rmtree(d)
+    try:
+        os.replace(stage, d)
+    except OSError:
+        # Lost a creation race on a filesystem where replace-onto-nonempty
+        # fails: the winner's entry is complete, use it.
+        shutil.rmtree(stage, ignore_errors=True)
     return dataclasses.replace(
         pc,
         image=np.load(d / "image.npy", mmap_mode="r"),

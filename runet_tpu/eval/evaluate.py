@@ -38,17 +38,46 @@ def evaluate_prediction(
     if spacing is not None:
         out.update(volumetry(pred, spacing, num_classes))
         if surface:
-            cld = (
-                set(range(3, num_classes))
-                if cldice_classes is None
-                else set(cldice_classes)
-            )
             for k in range(1, num_classes):
                 sm = surface_metrics(pred == k, gt == k, spacing)
                 out.update({f"{name}_c{k}": v for name, v in sm.items()})
-                if k in cld:
-                    out[f"cldice_c{k}"] = cl_dice(pred == k, gt == k)
+    # clDice is spacing-free (pure mask topology): compute it whenever the
+    # caller asked for it explicitly, or by default (vessel classes >= 3)
+    # when surface metrics are on — an explicit --cldice must never be
+    # silently dropped just because --surface was omitted.
+    if cldice_classes is not None:
+        cld = set(cldice_classes)
+    elif surface:
+        cld = set(range(3, num_classes))
+    else:
+        cld = set()
+    for k in sorted(cld):
+        if 1 <= k < num_classes:
+            out[f"cldice_c{k}"] = cl_dice(pred == k, gt == k)
     return out
+
+
+def finite_mean(values) -> float:
+    """Mean over the FINITE entries (empty-prediction cases yield inf
+    hd95/assd — one such case must not erase every other case's summary
+    value). All-non-finite -> inf (preserved as a signal, serialized as
+    null by ``json_sanitize``)."""
+    a = np.asarray(list(values), np.float64)
+    m = np.isfinite(a)
+    return float(a[m].mean()) if m.any() else float("inf")
+
+
+def json_sanitize(obj):
+    """Replace non-finite floats with None recursively: ``json.dumps`` emits
+    the non-standard ``Infinity``/``NaN`` tokens otherwise (invalid per RFC
+    8259 — jq / JSON.parse choke on the artifact)."""
+    if isinstance(obj, dict):
+        return {k: json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
 
 
 def evaluate_cases(
@@ -84,7 +113,7 @@ def evaluate_cases(
         rows.append(row)
     total = time.monotonic() - t0
     summary = {
-        k: float(np.mean([r[k] for r in rows]))
+        k: finite_mean(r[k] for r in rows)
         for k in rows[0]
         if k not in ("case_id",)
     }

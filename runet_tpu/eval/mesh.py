@@ -246,20 +246,55 @@ def labelmap_to_meshes(
     Smoothing is adaptive per class: structures thinner than the smoothing
     radius (a 2-voxel vessel drops below the 0.5 level after one 3^3 box
     pass) are retried with fewer iterations, down to the raw staircase
-    surface — a non-empty mask NEVER yields an empty mesh. Returns
-    {class_id: (verts, faces)}.
+    surface. The retry triggers on COVERAGE, not only emptiness: if fewer
+    than ``min_coverage`` of the mask's voxels survive above the iso-level
+    (e.g. a thin vessel losing its branches while a thick bulge remains),
+    that smoothing level is rejected — a partial blob must not masquerade
+    as the whole structure in a surgical-planning export. Work is cropped
+    to the class bounding box (+smoothing halo), so cost scales with the
+    structure, not the CT volume. Returns {class_id: (verts, faces)}.
     """
     from scipy import ndimage
 
+    labels = np.asarray(labels)
     out = {}
+    # Bulky organs keep ~0.95 of their voxels above-level after smoothing
+    # (only half the boundary shell dips); thin structures collapse toward
+    # 0 — 0.6 separates the regimes with margin on both sides.
+    min_coverage = 0.6
     for k in classes:
-        mask = (np.asarray(labels) == k).astype(np.float32)
+        full = labels == k
+        if not full.any():
+            out[int(k)] = extract_surface(
+                np.zeros((2, 2, 2), np.float32), level=0.5, affine=affine
+            )
+            continue
+        # Crop to the class bbox + halo (smoothing radius + the 1-voxel
+        # border pad extract_surface adds): full-volume uniform_filter
+        # passes per class per retry are seconds of host work on a 512^3 CT
+        # for structures occupying a few percent of it.
+        halo = max(0, smooth_iters) + 2
+        lo, hi = [], []
+        for ax in range(3):
+            nz = np.flatnonzero(full.any(axis=tuple(a for a in range(3) if a != ax)))
+            lo.append(max(0, int(nz[0]) - halo))
+            hi.append(min(full.shape[ax], int(nz[-1]) + 1 + halo))
+        mask = full[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].astype(np.float32)
+        # Vertices come out in crop-local voxel coords; compose the crop
+        # offset into the affine (world = A @ (v_local + lo)).
+        base = np.eye(4) if affine is None else np.asarray(affine, np.float64)
+        shift = np.eye(4)
+        shift[:3, 3] = lo
+        crop_affine = base @ shift
+        n_mask = int(mask.sum())
         for iters in range(max(0, smooth_iters), -1, -1):
             m = mask
             for _ in range(iters):
                 m = ndimage.uniform_filter(m, size=3, mode="constant")
-            verts, faces = extract_surface(m, level=0.5, affine=affine)
-            if len(faces) > 0 or not mask.any():
+            if iters > 0 and int((m > 0.5).sum()) < min_coverage * n_mask:
+                continue  # smoothing ate too much of the structure
+            verts, faces = extract_surface(m, level=0.5, affine=crop_affine)
+            if len(faces) > 0:
                 break
         out[int(k)] = (verts, faces)
     return out

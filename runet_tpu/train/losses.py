@@ -165,9 +165,11 @@ def hard_dice_per_class(
 
 def kits_composite_dice(pred_labels, gt_labels) -> dict:
     """KiTS19-style eval (SURVEY.md §3.4): kidney composite = classes {1,2}
-    merged; tumor = class 2."""
-    pk = (pred_labels >= 1).astype(jnp.float32)
-    gk = (gt_labels >= 1).astype(jnp.float32)
+    merged; tumor = class 2. Composite membership is EXACTLY {1,2} — in the
+    5-class renal_anatomy convention classes 3/4 are vessels, which must not
+    count toward kidney overlap."""
+    pk = ((pred_labels == 1) | (pred_labels == 2)).astype(jnp.float32)
+    gk = ((gt_labels == 1) | (gt_labels == 2)).astype(jnp.float32)
     inter = jnp.sum(pk * gk)
     denom = jnp.sum(pk) + jnp.sum(gk)
     kidney = jnp.where(denom > 0, 2 * inter / jnp.maximum(denom, 1e-8), 1.0)

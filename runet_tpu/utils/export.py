@@ -80,7 +80,11 @@ def export_run(run_dir: str | Path, out_path: str | Path, average: int = 1) -> P
             lambda a: (a / len(steps)).astype(a.dtype), acc
         )
         return save_params_npz(out_path, mean, cfg_json)
-    step = ckpt.best_step() or ckpt.latest_step()
+    # Explicit None check: a best step of 0 is falsy but must still win
+    # over the latest checkpoint.
+    step = ckpt.best_step()
+    if step is None:
+        step = ckpt.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {run_dir / 'ckpt'}")
     state = ckpt.restore(state, step=step)

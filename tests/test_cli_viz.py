@@ -94,6 +94,12 @@ def test_cli_serve_once(tmp_path, capsys):
     rep = json.loads((out / "case_00000.json").read_text())
     assert rep["case_id"] == "case_00000" and rep["latency_s"] > 0
     assert "volume_ml_c1" in rep and (out / "case_00000_c1.stl").exists()
+    # the emitted labelmap must be a READABLE .nii.gz (the temp-then-rename
+    # write once produced gzip-named uncompressed payloads)
+    from runet_tpu.io.nifti import load_volume
+
+    served = load_volume(out / "case_00000.nii.gz")
+    assert served.data.shape == (32, 32, 24)
 
     # idempotent: second --once pass reprocesses nothing
     mtime = (out / "case_00000.nii.gz").stat().st_mtime_ns
@@ -145,24 +151,27 @@ def test_cli_serve_isolates_predict_failures(tmp_path, capsys, monkeypatch):
 
     monkeypatch.setattr(cascade_mod, "predict_volume", flaky)
     out = tmp_path / "served"
-    main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
-          "--once"])
+    rc = main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+               "--once"])
     err = capsys.readouterr().err
+    assert rc == 1  # batch mode reports the failure to the caller
     assert "FAILED" in err
     assert (out / "case_00000.failed.json").exists()
     assert not (out / "case_00000.nii.gz").exists()
     assert (out / "case_00001.nii.gz").exists()  # later case unaffected
 
     # failed case is not retried while the marker stands
-    main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
-          "--once"])
+    rc = main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+               "--once"])
     capsys.readouterr()
     assert calls["n"] == 2  # only the two original attempts
+    assert rc == 0  # nothing failed THIS run
     # operator deletes the marker -> retried and (unpatched count>1) succeeds
     (out / "case_00000.failed.json").unlink()
-    main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
-          "--once"])
+    rc = main(["serve", "--watch", str(watch), "--out", str(out), "--fine", str(run),
+               "--once"])
     capsys.readouterr()
+    assert rc == 0
     assert (out / "case_00000.nii.gz").exists()
 
 

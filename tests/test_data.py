@@ -263,6 +263,10 @@ def test_prepare_dataset_disk_cache_roundtrip(tmp_path):
     other = prepare_dataset(root, pp2, cache_dir=cache)[0]
     assert other.image.shape != plain.image.shape
 
+    # Entries are committed by atomic rename from a staging dir (concurrent
+    # multi-host preparers share --cache); no staging litter may remain.
+    assert not list(cache.glob(".*.tmp.*"))
+
     # Sampling from the memmap works and matches in-RAM sampling.
     from runet_tpu.data.sampler import sample_batch
 

@@ -84,6 +84,24 @@ def test_kits_composite():
     assert float(out["tumor"]) == 1.0
 
 
+def test_kits_composite_excludes_vessel_classes():
+    """Composite membership is exactly {1,2}: in the 5-class renal_anatomy
+    convention, predicted artery (3) overlapping gt vein (4) must count as
+    zero kidney-composite overlap, not a hit."""
+    gt = np.zeros((4, 4, 4), np.int32)
+    gt[0] = 4  # vein only
+    pred = np.zeros_like(gt)
+    pred[0] = 3  # artery exactly where the vein is
+    out = kits_composite_dice(jnp.asarray(pred), jnp.asarray(gt))
+    # no class-{1,2} voxels on either side -> vacuous perfect score
+    assert float(out["kidney_composite"]) == 1.0
+    # one side has kidney voxels, vessels must not rescue the overlap
+    pred2 = np.zeros_like(gt)
+    pred2[0] = 1
+    out2 = kits_composite_dice(jnp.asarray(pred2), jnp.asarray(gt))
+    assert float(out2["kidney_composite"]) == 0.0
+
+
 def test_dice_ce_matches_gather_reference():
     """The one-pass gather-free dice_ce_loss (train/losses.py — the
     take_along_axis CE measured 27.5 ms vs 1.9 ms at 128³ on v5e) must

@@ -290,3 +290,69 @@ def test_labelmap_to_meshes_thin_structure_never_empty():
     assert len(faces) > 0
     n = int((labels == 3).sum())
     assert 0.4 * n < mesh_stats(verts, faces)["volume"] < 1.3 * n
+
+
+def test_labelmap_to_meshes_partial_thinning_loss_triggers_fallback():
+    """A thin vessel WITH a thick bulge: smoothing keeps the bulge above the
+    iso-level (mesh non-empty), so an emptiness-only fallback would silently
+    export a blob missing ~90% of the vessel. The coverage check must back
+    off smoothing until most of the structure survives."""
+    labels = np.zeros((40, 14, 14), np.uint8)
+    labels[2:38, 6:8, 6:8] = 3       # long 2x2 vessel
+    labels[18:24, 4:10, 4:10] = 3    # 6x6x6 bulge (survives smoothing)
+    meshes = labelmap_to_meshes(labels, classes=[3], smooth_iters=2)
+    verts, faces = meshes[3]
+    n = int((labels == 3).sum())
+    vol = mesh_stats(verts, faces)["volume"]
+    assert vol > 0.5 * n  # the whole vessel, not just the bulge (~60% of n)
+    # and the surface spans the vessel's length, not only the bulge extent
+    assert verts[:, 0].max() - verts[:, 0].min() > 30
+
+
+def test_labelmap_to_meshes_crop_offset_composes_with_affine():
+    """Meshing is cropped to the class bbox; vertices must still land at the
+    structure's WORLD position (crop offset composed into the affine)."""
+    labels = np.zeros((40, 40, 40), np.uint8)
+    labels[28:34, 30:36, 20:26] = 1  # far from the origin corner
+    affine = np.array(
+        [[0.0, 0.0, 2.0, 5.0],
+         [0.0, -1.5, 0.0, 7.0],
+         [1.0, 0.0, 0.0, -3.0],
+         [0.0, 0.0, 0.0, 1.0]]
+    )
+    verts, faces = labelmap_to_meshes(labels, [1], affine=affine, smooth_iters=1)[1]
+    center_vox = np.array([30.5, 32.5, 22.5])
+    expected = affine[:3, :3] @ center_vox + affine[:3, 3]
+    np.testing.assert_allclose(verts.mean(axis=0), expected, atol=1.0)
+    # world-frame volume = voxel count x |det| (smoothing shrink bounded)
+    vol = mesh_stats(verts, faces)["volume"]
+    n = int(labels.sum()) * abs(np.linalg.det(affine[:3, :3]))
+    assert 0.5 * n < vol < 1.2 * n
+
+
+def test_evaluate_prediction_cldice_without_surface():
+    """--cldice must work without --surface: an explicitly requested metric
+    is computed, not silently dropped."""
+    from runet_tpu.eval.evaluate import evaluate_prediction
+
+    gt = np.zeros((24, 24, 24), np.uint8)
+    gt[4:20, 10:14, 10:14] = 3
+    row = evaluate_prediction(gt, gt, 4, spacing=(1, 1, 1), cldice_classes=(3,))
+    assert row["cldice_c3"] == 1.0
+    assert "hd95_c3" not in row  # surface metrics stay off
+    # and entirely absent when neither surface nor cldice asked
+    assert "cldice_c3" not in evaluate_prediction(gt, gt, 4, spacing=(1, 1, 1))
+
+
+def test_finite_mean_and_json_sanitize():
+    """One empty-prediction case (inf hd95) must not poison the summary mean,
+    and artifacts must serialize as valid RFC-8259 JSON (no Infinity token)."""
+    import json
+
+    from runet_tpu.eval.evaluate import finite_mean, json_sanitize
+
+    assert finite_mean([1.0, 3.0, float("inf")]) == 2.0
+    assert finite_mean([float("inf"), float("nan")]) == float("inf")
+    blob = json.dumps(json_sanitize({"hd95": float("inf"), "rows": [1.0, float("nan")]}))
+    assert "Infinity" not in blob and "NaN" not in blob
+    assert json.loads(blob) == {"hd95": None, "rows": [1.0, None]}
