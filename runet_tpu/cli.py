@@ -485,7 +485,9 @@ def cmd_warmup(args):
     if args.roi:
         shapes = [tuple(int(v) for v in s.split("x")) for s in args.roi]
         stats.update(
-            warmup_roi_buckets(fine, shapes, tuple(args.spacing))
+            warmup_roi_buckets(
+                fine, shapes, tuple(args.spacing), cascade=fine_cfg.cascade
+            )
         )
     print(json.dumps(stats))
 

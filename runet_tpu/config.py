@@ -165,6 +165,13 @@ class CascadeConfig:
     # stay applicable — a 32-bucketed z (e.g. 240) would disable them and
     # lose more to the slower per-voxel path than the padding costs.
     roi_bucket_z: int = 128
+    # Native-crop extent bucket: the ROI program's input shape is the crop
+    # grown to cover the bucketed fine grid, which depends on the CASE's
+    # native spacing (continuous on real data). Rounding it up to multiples
+    # of this bounds the compile classes per fine bucket to a small finite
+    # set instead of one per distinct spacing; the extra rows are real
+    # anatomical context (or edge padding at the volume boundary).
+    crop_bucket: int = 16
     # Fixed canonical coarse-grid shape: every case compiles the SAME coarse
     # program (512 mm abdominal FOV at 4 mm iso is <=128 voxels/axis).
     # 128 matters doubly: half the voxels of the old 160³/3.2 mm grid AND

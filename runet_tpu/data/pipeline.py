@@ -124,10 +124,25 @@ class PatchLoader:
 
     def __next__(self):
         # Batches arrive already device-resident (worker-thread put).
-        item = self._q.get()
-        if item is self._SENTINEL:
-            raise RuntimeError("PatchLoader worker thread failed") from self._exc
-        return item
+        # Bounded waits + a liveness check: once the single sentinel has
+        # been consumed (or close() drained it), a dead worker leaves the
+        # queue empty forever — a plain q.get() would hang the consumer
+        # with no diagnosis.
+        while True:
+            try:
+                item = self._q.get(timeout=1.0)
+            except queue.Empty:
+                if self._exc is not None or not self._thread.is_alive():
+                    raise RuntimeError(
+                        "PatchLoader worker thread is dead"
+                    ) from self._exc
+                continue
+            if item is self._SENTINEL:
+                self._exc = self._exc or RuntimeError("worker stopped")
+                raise RuntimeError(
+                    "PatchLoader worker thread failed"
+                ) from self._exc
+            return item
 
     def close(self):
         self._stop.set()

@@ -40,8 +40,8 @@ from runet_tpu.infer.sliding_window import sliding_window_predict
 from runet_tpu.preprocess.normalize import normalize
 from runet_tpu.preprocess.resample import (
     output_shape_for_spacing,
-    resample,
-    resample_labels_onehot,
+    resample_dynamic,
+    resample_labels_onehot_dynamic,
 )
 
 
@@ -57,23 +57,34 @@ class ModelBundle:
 
 
 def _to_transfer_dtype(image: np.ndarray) -> np.ndarray:
-    """Halve host→device bytes: HU values are exact in f16 up to 2048 and the
-    HU clip window makes larger magnitudes irrelevant; tunnel measured at
-    ~36 MB/s, so a 512³-scale upload drops seconds."""
-    if image.dtype in (np.float32, np.float64):
-        return image.astype(np.float16)
-    return image
+    """One canonical f16 transfer dtype for every upload. Two reasons:
+    (a) halve host→device bytes — HU values are exact in f16 up to 2048 and
+    the HU clip window makes larger magnitudes irrelevant; tunnel measured
+    at ~36 MB/s, so a 512³-scale upload drops seconds; (b) ONE jit cache
+    class per program — int16 CT storage (the common NIfTI encoding) would
+    otherwise key a second compiled variant per program that a f16 warmup
+    never touched, paying a cold compile mid-serving."""
+    if image.dtype == np.float16:
+        return image
+    return image.astype(np.float16)
 
 
 def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfig):
     out_shape = output_shape_for_spacing(image.shape, native_spacing, pp.spacing)
-    scale = tuple(d / s for s, d in zip(native_spacing, pp.spacing))
-    x = resample(_to_transfer_dtype(np.asarray(image)), out_shape, scale, method="linear")
+    # Traced scale: cases sharing a shape class but differing in native
+    # spacing reuse one compiled resample program.
+    scale = np.asarray(
+        [d / s for s, d in zip(native_spacing, pp.spacing)], np.float32
+    )
+    x = resample_dynamic(
+        _to_transfer_dtype(np.asarray(image)), out_shape, scale, method="linear"
+    )
     return normalize(x, pp.hu_window, pp.hu_stats)
 
 
-def _predict_stage(bundle: ModelBundle, volume):
-    """Sliding-window predict; returns a DEVICE uint8 label array."""
+def _predict_stage(bundle: ModelBundle, volume, return_probs: bool = False):
+    """Sliding-window predict; returns a DEVICE uint8 label array (plus the
+    class probabilities when ``return_probs``)."""
     from runet_tpu.infer.tta import effective_apply_fn
 
     return sliding_window_predict(
@@ -88,7 +99,26 @@ def _predict_stage(bundle: ModelBundle, volume):
         window_batch=bundle.infer.window_batch,
         single_pass_ratio=bundle.infer.single_pass_ratio,
         expand_windows=bundle.infer.expand_windows,
+        return_probs=return_probs,
     )
+
+
+def _labels_to_native(labels, native_shape, scale_fn, num_classes: int) -> np.ndarray:
+    """One-hot back-resample of DEVICE labels to a native grid, fetched
+    nibble-packed when K <= 16 (labels >= 16 would corrupt the 4-bit lanes
+    — fetched raw instead) and returned as host uint8."""
+    from runet_tpu.infer.packing import pack_nibbles, unpack_nibbles
+
+    native = resample_labels_onehot_dynamic(
+        labels.astype(jnp.int32),
+        tuple(int(s) for s in native_shape),
+        np.asarray(scale_fn, np.float32),
+        num_classes,
+    ).astype(jnp.uint8)
+    if num_classes <= 16:
+        packed = jax.jit(pack_nibbles)(native)
+        return unpack_nibbles(np.asarray(packed), int(native_shape[2]))
+    return np.asarray(native)
 
 
 # Measured per-voxel speed ratio of the XLA conv path vs the fused Pallas
@@ -124,17 +154,21 @@ def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tu
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "out_shape", "scale", "hu_window", "hu_stats"),
+    static_argnames=("apply_fn", "out_shape", "hu_window", "hu_stats"),
 )
 def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_stats):
     """Fused coarse stage: resample→normalize→pad32→forward→argmax→binarize→
     bit-pack, one dispatch (same tunnel round-trip rationale as _roi_program).
     Returns the foreground mask bit-packed along Z (infer/packing.py): the
-    host fetch drops 8× (4 MB → 0.5 MB at the 160³ canonical grid)."""
+    host fetch drops 8× (4 MB → 0.5 MB at the 160³ canonical grid).
+
+    ``scale`` is TRACED (f32 (3,)): native spacing is continuous per case on
+    real data, and a static scale would recompile this program per distinct
+    spacing (preprocess/resample.py resample_dynamic)."""
     from runet_tpu.infer.packing import pack_bits
     from runet_tpu.infer.sliding_window import _single_pass
 
-    x = resample(image, out_shape, scale, "linear")
+    x = resample_dynamic(image, out_shape, scale, "linear")
     x = normalize(x, hu_window, hu_stats)
     div32 = tuple(-(-s // 32) * 32 for s in x.shape)
     pads = [(0, p - s) for s, p in zip(x.shape, div32)]
@@ -149,15 +183,15 @@ def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_sta
     jax.jit,
     static_argnames=(
         "apply_fn", "padded_shape", "fine_shape", "crop_shape",
-        "scale_nf", "scale_fn", "num_classes", "hu_window", "hu_stats",
+        "num_classes", "hu_window", "hu_stats",
     ),
 )
 def _roi_program(
     apply_fn,
     params,
-    crop,  # (cx, cy, cz) native-spacing HU crop (f16/int16)
+    crop,  # (cx, cy, cz) native-spacing HU crop (f16)
     padded_shape, fine_shape, crop_shape,
-    scale_nf, scale_fn,
+    scale_nf, scale_fn,  # TRACED f32 (3,) — spacing varies per case
     num_classes, hu_window, hu_stats,
 ):
     """One fused device program per ROI: resample→normalize→U-Net forward→
@@ -165,24 +199,29 @@ def _roi_program(
     + a single uint8 fetch — the per-call tunnel round-trip (~38 ms
     measured) would otherwise dominate the fine stage.
 
-    Every static here is derived from the BUCKETED fine shape (predict_case
-    grows the native crop to fill the bucket with real context), so the
-    number of compiled variants across a dataset is bounded by the bucket
-    set, not by the number of distinct kidney sizes."""
+    Every static here is derived from BUCKETED shapes (predict_case grows
+    the native crop to fill the bucketed fine grid with real context and
+    rounds the crop extent up to CascadeConfig.crop_bucket), and the
+    spacing-dependent scales are traced inputs — so the number of compiled
+    variants across a dataset is bounded by the bucket set, not by the
+    number of distinct kidney sizes OR native spacings."""
     from runet_tpu.infer.sliding_window import _single_pass
 
-    roi = resample(crop, padded_shape, scale_nf, "linear")
+    roi = resample_dynamic(crop, padded_shape, scale_nf, "linear")
     roi = normalize(roi, hu_window, hu_stats)
     labels, _ = _single_pass(apply_fn, params, roi[..., None])
     labels = labels[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
-    native = resample_labels_onehot(
+    native = resample_labels_onehot_dynamic(
         labels.astype(jnp.int32), crop_shape, scale_fn, num_classes
     ).astype(jnp.uint8)
-    # Nibble-pack (K ≤ 16) along Z: halves the uint8 label fetch bytes
-    # (infer/packing.py — matters when fetches can't hide behind compute).
-    from runet_tpu.infer.packing import pack_nibbles
+    # Nibble-pack (K ≤ 16 only — labels >= 16 would corrupt the 4-bit
+    # lanes) along Z: halves the uint8 label fetch bytes (infer/packing.py
+    # — matters when fetches can't hide behind compute).
+    if num_classes <= 16:
+        from runet_tpu.infer.packing import pack_nibbles
 
-    return pack_nibbles(native)
+        return pack_nibbles(native)
+    return native
 
 
 def predict_volume(
@@ -198,44 +237,14 @@ def predict_volume(
     feed offline fusion/calibration workflows; they stay at the model grid
     (resampling them to native would triple the fetch for no analysis
     value — downstream fusion resamples once at the end)."""
-    from runet_tpu.infer.packing import pack_nibbles, unpack_nibbles
-
     vol = _preprocess_on_device(image, native_spacing, fine.preprocess)
+    scale_fn = [n / f for n, f in zip(native_spacing, fine.preprocess.spacing)]
     if return_probs:
-        from runet_tpu.infer.sliding_window import sliding_window_predict
-        from runet_tpu.infer.tta import effective_apply_fn
-
-        labels, probs = sliding_window_predict(
-            effective_apply_fn(fine), fine.params, vol,
-            patch_size=tuple(fine.infer.patch_size),
-            num_classes=fine.num_classes,
-            overlap=fine.infer.overlap,
-            sigma_scale=fine.infer.sigma_scale,
-            use_gaussian=fine.infer.use_gaussian,
-            window_batch=fine.infer.window_batch,
-            single_pass_ratio=fine.infer.single_pass_ratio,
-            expand_windows=fine.infer.expand_windows,
-            return_probs=True,
-        )
-        scale = tuple(
-            n / f for n, f in zip(native_spacing, fine.preprocess.spacing)
-        )
-        packed = jax.jit(pack_nibbles)(
-            resample_labels_onehot(
-                labels.astype(jnp.int32), tuple(image.shape), scale,
-                fine.num_classes,
-            ).astype(jnp.uint8)
-        )
-        native = unpack_nibbles(np.asarray(packed), image.shape[2])
+        labels, probs = _predict_stage(fine, vol, return_probs=True)
+        native = _labels_to_native(labels, image.shape, scale_fn, fine.num_classes)
         return native, np.asarray(probs.astype(jnp.float16)), fine.preprocess.spacing
     labels = _predict_stage(fine, vol)
-    scale = tuple(n / f for n, f in zip(native_spacing, fine.preprocess.spacing))
-    packed = jax.jit(pack_nibbles)(
-        resample_labels_onehot(
-            labels.astype(jnp.int32), tuple(image.shape), scale, fine.num_classes
-        ).astype(jnp.uint8)
-    )
-    return unpack_nibbles(np.asarray(packed), image.shape[2])
+    return _labels_to_native(labels, image.shape, scale_fn, fine.num_classes)
 
 
 def predict_case(
@@ -304,7 +313,7 @@ def predict_case(
                 coarse.params,
                 jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(strided))),
                 c_run_shape,
-                c_scale,
+                np.asarray(c_scale, np.float32),  # traced, not a cache key
                 c_pp.hu_window,
                 c_pp.hu_stats,
             )
@@ -371,16 +380,26 @@ def predict_case(
         want = np.asarray(
             [int(np.ceil((p - 1) * s)) + 1 for p, s in zip(padded_shape, scale_nf)]
         )
-        extra = np.maximum(want - (hi - lo), 0)
+        # Bucket the crop BUFFER extent too: want is a continuous function
+        # of the case's native spacing, and the crop shape is a STATIC of
+        # the ROI program — unbucketed it would compile one variant per
+        # distinct spacing even with the scales traced. The bucket rows are
+        # buffer only: the fine grid still covers exactly [lo, lo+want) —
+        # pasting past it would replicate clamped edge labels outward — so
+        # the PASTE extent keeps the exact (unbucketed) want.
+        cb = max(1, int(getattr(cascade, "crop_bucket", 16)))
+        want_buf = -(-want // cb) * cb
+        extra = np.maximum(want_buf - (hi - lo), 0)
         lo = np.maximum(lo - extra // 2, 0)
-        lo = np.minimum(lo, np.maximum(np.asarray(image.shape) - want, 0))
-        hi = np.minimum(lo + want, image.shape)
+        lo = np.minimum(lo, np.maximum(np.asarray(image.shape) - want_buf, 0))
+        hi_buf = np.minimum(lo + want_buf, image.shape)
+        hi = np.minimum(lo + want, image.shape)  # exact covered extent
         native_boxes.append((lo.copy(), hi.copy()))
-        crop = image[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]
-        if np.any(hi - lo < want):
+        crop = image[lo[0] : hi_buf[0], lo[1] : hi_buf[1], lo[2] : hi_buf[2]]
+        if np.any(hi_buf - lo < want_buf):
             # Volume smaller than the grown extent on some axis: edge-pad on
             # host (same values the resampler's clamp would have produced).
-            pads = [(0, int(w - (h - l))) for w, l, h in zip(want, lo, hi)]
+            pads = [(0, int(w - (h - l))) for w, l, h in zip(want_buf, lo, hi_buf)]
             crop = np.pad(crop, pads, mode="edge")
         fine_shape = tuple(padded_shape)  # full grid is real context now
 
@@ -400,19 +419,19 @@ def predict_case(
                     padded_shape,
                     tuple(fine_shape),
                     tuple(crop.shape),
-                    scale_nf,
-                    scale_fn,
+                    np.asarray(scale_nf, np.float32),  # traced
+                    np.asarray(scale_fn, np.float32),  # traced
                     fine.num_classes,
                     fine.preprocess.hu_window,
                     fine.preprocess.hu_stats,
                 )
-            roi_results.append((lo, hi, tuple(int(w) for w in want), dev))
+            roi_results.append((lo, hi, tuple(int(w) for w in want_buf), dev))
         else:
             with t.phase("roi_preprocess"):
-                roi = resample(
-                    _to_transfer_dtype(np.ascontiguousarray(crop)),
+                roi = resample_dynamic(
+                    jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(crop))),
                     padded_shape,
-                    scale_nf,
+                    np.asarray(scale_nf, np.float32),
                     "linear",
                 )
                 roi = normalize(roi, fine.preprocess.hu_window, fine.preprocess.hu_stats)
@@ -423,25 +442,32 @@ def predict_case(
             with t.phase("roi_labels_back"):
                 from runet_tpu.infer.packing import pack_nibbles
 
-                dev = jax.jit(pack_nibbles)(
-                    resample_labels_onehot(
-                        roi_labels.astype(jnp.int32),
-                        tuple(crop.shape),
-                        scale_fn,
-                        fine.num_classes,
-                    ).astype(jnp.uint8)
+                native = resample_labels_onehot_dynamic(
+                    roi_labels.astype(jnp.int32),
+                    tuple(crop.shape),
+                    np.asarray(scale_fn, np.float32),
+                    fine.num_classes,
+                ).astype(jnp.uint8)
+                dev = (
+                    jax.jit(pack_nibbles)(native)
+                    if fine.num_classes <= 16
+                    else native
                 )
-            roi_results.append((lo, hi, tuple(int(w) for w in want), dev))
+            roi_results.append((lo, hi, tuple(int(w) for w in want_buf), dev))
 
     # ---- fetch + paste (device work for all ROIs already in flight) ----
     from runet_tpu.infer.packing import unpack_nibbles
 
-    for lo, hi, want, dev in roi_results:
+    for lo, hi, want_buf, dev in roi_results:
         with t.phase("roi_fetch_paste"):
-            # Labels come back at the grown crop shape ``want``; only the
-            # in-volume region [0 : hi-lo) is pasted (the rest, if any, was
-            # host edge-padding past the volume boundary).
-            crop_labels = unpack_nibbles(np.asarray(dev), want[2])[
+            # Labels come back at the crop BUFFER shape ``want_buf``; only
+            # the exactly-covered in-volume region [0 : hi-lo) is pasted
+            # (the rest is bucket buffer / edge padding, whose fine-grid
+            # source would be clamped).
+            fetched = np.asarray(dev)
+            if fine.num_classes <= 16:
+                fetched = unpack_nibbles(fetched, want_buf[2])
+            crop_labels = fetched[
                 : hi[0] - lo[0], : hi[1] - lo[1], : hi[2] - lo[2]
             ]
             dst = native_canvas[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]]

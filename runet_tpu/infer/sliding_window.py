@@ -225,7 +225,10 @@ def sliding_window_predict(
         vol = vol[..., None]
     orig_shape = vol.shape[:3]
     if pad_value is None:
-        pad_value = float(jnp.min(vol))
+        # Device scalar, NOT float(): float() would block on a device->host
+        # fetch (~38 ms tunnel RTT) before any real work could dispatch;
+        # jnp.pad consumes the scalar asynchronously.
+        pad_value = jnp.min(vol)
 
     # Divisibility guard: 32 covers <=6 U-Net levels; never exceed the patch
     # (a model accepting 16-cubed patches has <=5 levels anyway).

@@ -45,17 +45,20 @@ def warmup_cases(
     ``predict_case`` path, results discarded). Returns per-case seconds."""
     from runet_tpu.infer.cascade import predict_case
 
+    def timed(img, sp):
+        # Timed INSIDE the submitted callable: measuring completion deltas
+        # between concurrently-running futures on the caller thread would
+        # attribute near-zero cost to every case after the first.
+        t0 = time.monotonic()
+        predict_case(coarse, fine, img, sp, cascade)
+        return time.monotonic() - t0
+
     out: dict[str, float] = {}
     t_all = time.monotonic()
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        futs = [
-            pool.submit(predict_case, coarse, fine, img, sp, cascade)
-            for img, sp in cases
-        ]
+        futs = [pool.submit(timed, img, sp) for img, sp in cases]
         for i, f in enumerate(futs):
-            t0 = time.monotonic()
-            f.result()
-            out[f"case{i}_s"] = round(time.monotonic() - t0, 2)
+            out[f"case{i}_s"] = round(f.result(), 2)
     out["total_s"] = round(time.monotonic() - t_all, 2)
     return out
 
@@ -65,9 +68,13 @@ def warmup_roi_buckets(
     fine_shapes,  # iterable of bucketed fine-grid shapes, e.g. (192,160,256)
     native_spacing,
     workers: int = 2,
+    cascade: CascadeConfig = CascadeConfig(),
 ) -> dict[str, float]:
     """Dispatch the fused ROI program for explicit fine buckets on dummy
-    input — for deployments that know their bucket set up front."""
+    input — for deployments that know their bucket set up front. The
+    spacing-derived scales are traced program INPUTS (cascade.py), so one
+    warm spacing covers every native spacing that lands in the same
+    (fine bucket, crop bucket) shape class."""
     import jax.numpy as jnp
 
     from runet_tpu.infer.cascade import _roi_program
@@ -78,11 +85,15 @@ def warmup_roi_buckets(
     scale_nf = tuple(f / n for n, f in zip(n_sp, f_sp))
     scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
     apply_fn = effective_apply_fn(fine)
+    cb = max(1, int(getattr(cascade, "crop_bucket", 16)))
 
     def one(padded):
         padded = tuple(int(p) for p in padded)
+        # Same crop-extent bucketing as predict_case: the crop shape is a
+        # static of the ROI program and must match what serving dispatches.
         want = tuple(
-            int(np.ceil((p - 1) * s)) + 1 for p, s in zip(padded, scale_nf)
+            -(-(int(np.ceil((p - 1) * s)) + 1) // cb) * cb
+            for p, s in zip(padded, scale_nf)
         )
         t0 = time.monotonic()
         out = _roi_program(
@@ -92,8 +103,8 @@ def warmup_roi_buckets(
             padded,
             padded,
             want,
-            scale_nf,
-            scale_fn,
+            np.asarray(scale_nf, np.float32),
+            np.asarray(scale_fn, np.float32),
             fine.num_classes,
             fine.preprocess.hu_window,
             fine.preprocess.hu_stats,

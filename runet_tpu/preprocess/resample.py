@@ -170,6 +170,93 @@ def resample_labels_onehot(
     return jnp.argmax(out, axis=-1).astype(labels.dtype)
 
 
+def _interp_matrix_traced(
+    in_size: int, out_size: int, scale: jnp.ndarray, method: str
+) -> jnp.ndarray:
+    """(out_size, in_size) interpolation matrix from a TRACED scalar scale.
+
+    Same convention as ``_interp_matrix`` but built with jnp ops, so the
+    scale lives in the compiled program's *inputs* instead of its cache key.
+    This is what bounds cascade compile classes on real datasets: native CT
+    spacing is continuous per case (KiTS19 in-plane 0.44–1.04 mm), and a
+    static scale would recompile every jitted resample program per distinct
+    spacing — 30–60 s each on this host (infer/cascade.py). Positions are
+    f32 (int·f32 product, error ≤ ~1e-4 voxel at clinical sizes — far below
+    interpolation tolerance; the static f64 path remains for golden tests).
+    At the clamp edge i0 == i1 and both terms hit the same column, summing
+    to (1-w) + w = 1 exactly like the static path's accumulate."""
+    s = jnp.asarray(scale, jnp.float32)
+    pos = jnp.clip(
+        jnp.arange(out_size, dtype=jnp.float32) * s, 0.0, float(in_size - 1)
+    )
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    if method == "linear":
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+        i1 = jnp.minimum(i0 + 1, in_size - 1)
+        w = pos - i0.astype(jnp.float32)
+        W = (cols == i0[:, None]) * (1.0 - w)[:, None] + (
+            cols == i1[:, None]
+        ) * w[:, None]
+    else:  # nearest: floor(x + 0.5) matches scipy order=0 tie-breaking
+        idx = jnp.clip(jnp.floor(pos + 0.5).astype(jnp.int32), 0, in_size - 1)
+        W = (cols == idx[:, None]).astype(jnp.float32)
+    return W.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("out_shape", "method"))
+def resample_dynamic(
+    x: jnp.ndarray,
+    out_shape: tuple[int, int, int],
+    scale: jnp.ndarray,
+    method: str = "linear",
+) -> jnp.ndarray:
+    """``resample`` with a traced per-axis ``scale`` (shape (3,)).
+
+    For use INSIDE jitted programs whose scale varies per case (cascade ROI
+    and coarse programs): the compiled executable is shared across native
+    spacings. Every axis is resampled unconditionally (no scale==1 skip —
+    the value is unknown at trace time; an identity-ish axis costs one
+    near-identity matmul, negligible next to the U-Net forward)."""
+    if x.ndim != 3:
+        raise ValueError(f"expected 3D, got {x.shape}")
+    scale = jnp.asarray(scale, jnp.float32)
+    for axis in range(3):
+        n = x.shape[axis]
+        W = _interp_matrix_traced(n, out_shape[axis], scale[axis], method)
+        moved = jnp.moveaxis(x, axis, 0).reshape(n, -1)
+        out = jnp.dot(W, moved.astype(jnp.float32), preferred_element_type=jnp.float32)
+        new_shape = (out_shape[axis],) + tuple(
+            s for a, s in enumerate(x.shape) if a != axis
+        )
+        x = jnp.moveaxis(out.reshape(new_shape), 0, axis)
+    return x
+
+
+@partial(jax.jit, static_argnames=("out_shape", "num_classes"))
+def resample_labels_onehot_dynamic(
+    labels: jnp.ndarray,
+    out_shape: tuple[int, int, int],
+    scale: jnp.ndarray,
+    num_classes: int,
+) -> jnp.ndarray:
+    """``resample_labels_onehot`` with a traced per-axis scale (see
+    ``resample_dynamic`` — bounds cascade compile classes per spacing)."""
+    scale = jnp.asarray(scale, jnp.float32)
+    out = jax.nn.one_hot(labels, num_classes, dtype=jnp.bfloat16, axis=-1)
+    for axis in range(3):
+        n = out.shape[axis]
+        W = _interp_matrix_traced(n, out_shape[axis], scale[axis], "linear").astype(
+            jnp.bfloat16
+        )
+        moved = jnp.moveaxis(out, axis, 0).reshape(n, -1)
+        res = jnp.dot(W, moved, preferred_element_type=jnp.float32)
+        new_shape = (out_shape[axis],) + tuple(
+            s for a, s in enumerate(out.shape) if a != axis
+        )
+        out = jnp.moveaxis(res.astype(jnp.bfloat16).reshape(new_shape), 0, axis)
+    return jnp.argmax(out, axis=-1).astype(labels.dtype)
+
+
 def numpy_reference_resample(
     x: np.ndarray,
     out_shape: tuple[int, int, int],

@@ -9,6 +9,7 @@ explicit ``shard_map`` step — both validated equal in tests/test_parallel.py.
 from __future__ import annotations
 
 import time
+from functools import lru_cache
 from pathlib import Path
 
 import jax
@@ -58,6 +59,16 @@ def validate_patches(
     return fg_mean, mean
 
 
+@lru_cache(maxsize=8)
+def _apply_fn_for(model):
+    """One stable ``apply_fn`` per model (flax modules hash by config)."""
+
+    def apply_fn(p, w):
+        return model.apply({"params": p}, w)
+
+    return apply_fn
+
+
 def validate_full(
     model,
     params,
@@ -72,8 +83,10 @@ def validate_full(
     from runet_tpu.eval.evaluate import evaluate_prediction
     from runet_tpu.infer.sliding_window import sliding_window_predict
 
-    def apply_fn(p, w):
-        return model.apply({"params": p}, w)
+    # Per-model cached closure: sliding_window_predict's helpers are jitted
+    # with apply_fn STATIC, so a fresh closure per validate_full call would
+    # retrace (and grow the jit caches) at every full validation.
+    apply_fn = _apply_fn_for(model)
 
     scores = []
     for case in cases:
@@ -113,14 +126,19 @@ def train(
     """Train a model per config; returns (state, last_metrics)."""
     out_dir = Path(out_dir)
     steps = max_steps if max_steps is not None else cfg.train.steps
-    if cfg.train.val_full_every > 0 and cfg.train.val_full_every % cfg.train.val_every:
+    if cfg.train.val_full_every > 0:
         # Full validation only triggers inside the val_every branch; a
         # non-multiple would silently run at LCM cadence (possibly never)
         # and keep-best selection would starve.
-        raise ValueError(
-            f"val_full_every={cfg.train.val_full_every} must be a multiple "
-            f"of val_every={cfg.train.val_every}"
-        )
+        if cfg.train.val_every <= 0:
+            raise ValueError(
+                f"val_full_every={cfg.train.val_full_every} needs val_every>0"
+            )
+        if cfg.train.val_full_every % cfg.train.val_every:
+            raise ValueError(
+                f"val_full_every={cfg.train.val_full_every} must be a multiple "
+                f"of val_every={cfg.train.val_every}"
+            )
 
     if cases is None:
         if data_root is None:
@@ -271,7 +289,11 @@ def train(
             t_last = time.monotonic()
             steps_since_log = 0
 
-        if done % cfg.train.val_every == 0 or done == steps:
+        # val_every=0/negative disables validation entirely (like
+        # val_full_every=0) instead of a ZeroDivisionError mid-run.
+        if cfg.train.val_every > 0 and (
+            done % cfg.train.val_every == 0 or done == steps
+        ):
             val_dice, per_class = validate_patches(
                 eval_step, state.params, val_cases,
                 cfg.train.patch_size, cfg.model.num_classes,

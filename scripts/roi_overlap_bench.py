@@ -82,8 +82,10 @@ def main():
     # are spacing ratios; the native crop is grown to cover the padded grid.
     scale_nf = tuple(f / n for n, f in zip(NATIVE_SP, pp.spacing))
     scale_fn = tuple(n / f for n, f in zip(NATIVE_SP, pp.spacing))
+    cb = max(1, int(getattr(cfg.cascade, "crop_bucket", 16)))
     crop_shape = tuple(
-        int(np.ceil((p - 1) * s)) + 1 for p, s in zip(PADDED, scale_nf)
+        -(-(int(np.ceil((p - 1) * s)) + 1) // cb) * cb
+        for p, s in zip(PADDED, scale_nf)
     )
     fine_shape = PADDED  # full bucketed grid is real context
 
@@ -92,10 +94,13 @@ def main():
     )
     crop = jax.device_put(crop)
 
-    def roi_jit(c):  # _roi_program is itself jitted (static shape/scale args)
+    s_nf = np.asarray(scale_nf, np.float32)
+    s_fn = np.asarray(scale_fn, np.float32)
+
+    def roi_jit(c):  # _roi_program is itself jitted (static shapes; traced scales)
         return _roi_program(
             apply_fn, params, c, PADDED, fine_shape, crop_shape,
-            scale_nf, scale_fn, cfg.model.num_classes,
+            s_nf, s_fn, cfg.model.num_classes,
             pp.hu_window, pp.hu_stats,
         )
 

@@ -214,3 +214,56 @@ def test_roi_program_statics_bounded_by_bucket(monkeypatch):
     for shape, p, f, c in recorded:
         assert f == p, (f, p)
         assert shape == c, (shape, c)
+
+
+def test_roi_program_cache_shared_across_scales():
+    """Native-spacing-derived scales are TRACED inputs of the ROI program,
+    not cache keys: real datasets have near-continuous spacing (KiTS19
+    in-plane 0.44-1.04 mm), and a static scale would pay a fresh 30-60 s
+    compile per distinct spacing even with all shapes bucketed."""
+    import jax.numpy as jnp
+
+    import runet_tpu.infer.cascade as cas
+
+    apply_fn = _class_oracle(3)
+    padded = (16, 16, 16)
+    crop_shape = (16, 16, 16)
+    kwargs = dict(num_classes=3, hu_window=(0.0, 100.0), hu_stats=(0.0, 1.0))
+    crop = jnp.zeros(crop_shape, jnp.float16)
+
+    def run(s_nf, s_fn):
+        return cas._roi_program(
+            apply_fn, {}, crop, padded, padded, crop_shape,
+            np.asarray(s_nf, np.float32), np.asarray(s_fn, np.float32),
+            kwargs["num_classes"], kwargs["hu_window"], kwargs["hu_stats"],
+        )
+
+    n0 = cas._roi_program._cache_size()
+    run((1.0, 1.0, 1.0), (1.0, 1.0, 1.0))
+    n1 = cas._roi_program._cache_size()
+    run((0.83, 1.07, 0.5), (1.2, 0.93, 2.0))  # different spacings, same shapes
+    n2 = cas._roi_program._cache_size()
+    assert n1 == n0 + 1
+    assert n2 == n1, "scale change must not add a compile class"
+
+
+def test_predict_case_int16_input_matches_float():
+    """int16 CT storage (the common NIfTI encoding) goes through the same
+    f16 transfer dtype as float input — one jit class, identical labels."""
+    img, seg = _make_label_image()
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    cfg = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+    p_f = predict_case(coarse, fine, img, (1.0, 1.0, 1.5), cascade=cfg)
+    p_i = predict_case(
+        coarse, fine, img.astype(np.int16), (1.0, 1.0, 1.5), cascade=cfg
+    )
+    np.testing.assert_array_equal(p_f, p_i)

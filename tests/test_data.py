@@ -226,6 +226,11 @@ def test_patch_loader_worker_failure_propagates(tmp_path):
     try:
         with pytest.raises(RuntimeError, match="worker thread failed"):
             next(loader)
+        # The sentinel is single-shot: a SECOND next() after the failure
+        # must also raise promptly (liveness check), not block forever on
+        # the now-empty queue.
+        with pytest.raises(RuntimeError, match="worker thread"):
+            next(loader)
     finally:
         loader.close()
 

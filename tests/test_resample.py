@@ -90,3 +90,51 @@ def test_preprocess_case_pipeline():
     out = preprocess_case(x, (1.0, 1.0, 2.0), (1.0, 1.0, 1.0))
     assert out.shape == (20, 20, 20)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resample_dynamic_matches_static():
+    """The traced-scale resample (used by the cascade so compile classes
+    don't scale with native spacing) must match the static-scale path to
+    float32 position tolerance on both methods."""
+    import jax.numpy as jnp
+
+    from runet_tpu.preprocess.resample import resample, resample_dynamic
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 100, (23, 17, 29)).astype(np.float32)
+    for scale in [(1.0, 1.0, 1.0), (0.73, 1.31, 2.05), (3.3, 0.4, 1.0)]:
+        out_shape = tuple(
+            max(1, int(round(n / s))) for n, s in zip(x.shape, scale)
+        )
+        for method in ("linear", "nearest"):
+            a = np.asarray(resample(jnp.asarray(x), out_shape, scale, method))
+            b = np.asarray(
+                resample_dynamic(
+                    jnp.asarray(x), out_shape, np.asarray(scale, np.float32),
+                    method,
+                )
+            )
+            # f32 position rounding can flip a nearest/floor index only
+            # within ~1e-4 of a voxel boundary; values must agree tightly
+            # almost everywhere and never wildly.
+            close = np.isclose(a, b, rtol=1e-4, atol=1e-2)
+            assert close.mean() > 0.999, (method, scale, close.mean())
+
+
+def test_resample_labels_onehot_dynamic_matches_static():
+    from runet_tpu.preprocess.resample import (
+        resample_labels_onehot,
+        resample_labels_onehot_dynamic,
+    )
+
+    rng = np.random.default_rng(5)
+    labels = (rng.uniform(size=(19, 23, 15)) * 4).astype(np.int32)
+    scale = (0.8, 1.27, 1.9)
+    out_shape = (24, 18, 8)
+    a = np.asarray(resample_labels_onehot(labels, out_shape, scale, 4))
+    b = np.asarray(
+        resample_labels_onehot_dynamic(
+            labels, out_shape, np.asarray(scale, np.float32), 4
+        )
+    )
+    assert (a == b).mean() > 0.995, (a != b).sum()

@@ -253,3 +253,30 @@ def test_val_full_every_must_be_multiple_of_val_every():
     )
     with pytest.raises(ValueError, match="multiple"):
         train(cfg, cases=[], out_dir="/tmp/should_not_exist_run")
+
+
+def test_val_every_zero_disables_validation(tmp_path):
+    """val_every=0 means 'never validate' (like val_full_every=0), not a
+    ZeroDivisionError mid-run; periodic checkpointing still works."""
+    write_phantom_dataset(tmp_path / "data", num_cases=1, shape=(40, 40, 24))
+    cfg = tiny_config(val_every=0, ckpt_every=4)
+    state, aux = train(
+        cfg, data_root=tmp_path / "data", out_dir=tmp_path / "run",
+        max_steps=8, log_every=4,
+    )
+    assert int(state.step) == 8
+    lines = [
+        json.loads(l)
+        for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert not any("val_dice" in l for l in lines)
+    ckpt = CheckpointManager(tmp_path / "run" / "ckpt")
+    assert ckpt.latest_step() == 8
+
+    # val_full_every without val_every is a config error, not a hang/LCM.
+    import pytest
+
+    bad = tiny_config(val_every=0, val_full_every=8)
+    with pytest.raises(ValueError, match="val_every"):
+        train(bad, data_root=tmp_path / "data", out_dir=tmp_path / "run2",
+              max_steps=8)
