@@ -31,20 +31,16 @@ def _zoom_matrix_bank(n: int, factors: tuple[float, ...]) -> tuple[np.ndarray, n
     formulation as preprocess/resample.py, so the traced-factor zoom is a
     gather of ONE (n, n) matrix from a constant bank followed by MXU matmuls.
     """
+    from runet_tpu.preprocess.resample import matrix_from_positions
+
     c = (n - 1) / 2.0
-    lin = np.zeros((len(factors), n, n), np.float32)
-    nst = np.zeros((len(factors), n, n), np.float32)
     rows = np.arange(n)
-    for k, f in enumerate(factors):
+    lin, nst = [], []
+    for f in factors:
         pos = np.clip(c + (rows - c) * float(f), 0.0, float(n - 1))
-        i0 = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
-        i1 = np.minimum(i0 + 1, n - 1)
-        w = (pos - i0).astype(np.float32)
-        np.add.at(lin[k], (rows, i0), 1.0 - w)
-        np.add.at(lin[k], (rows, i1), w)
-        idx = np.clip(np.floor(pos + 0.5).astype(np.int64), 0, n - 1)
-        nst[k, rows, idx] = 1.0
-    return lin, nst
+        lin.append(matrix_from_positions(pos, n, "linear"))
+        nst.append(matrix_from_positions(pos, n, "nearest"))
+    return np.stack(lin), np.stack(nst)
 
 
 def _zoom_axis(x, axis, W):
@@ -97,15 +93,10 @@ def _field_upsample_matrix(n: int, g: int) -> np.ndarray:
     endpoints sit on the volume boundary. Static, so the elastic field
     upsample is three small MXU matmuls (same formulation as _zoom_matrix_bank
     / preprocess.resample — no gathers until the final warp)."""
-    out = np.zeros((n, g), np.float32)
-    rows = np.arange(n)
-    pos = rows * (g - 1) / (n - 1)
-    i0 = np.clip(np.floor(pos).astype(np.int64), 0, g - 1)
-    i1 = np.minimum(i0 + 1, g - 1)
-    w = (pos - i0).astype(np.float32)
-    np.add.at(out, (rows, i0), 1.0 - w)
-    np.add.at(out, (rows, i1), w)
-    return out
+    from runet_tpu.preprocess.resample import matrix_from_positions
+
+    pos = np.arange(n) * (g - 1) / (n - 1)
+    return matrix_from_positions(pos, g, "linear")
 
 
 def _rand_elastic(key, img, lab, grid: int = 4, alpha: tuple[float, float] = (0.0, 8.0)):
@@ -139,7 +130,16 @@ def _rand_elastic(key, img, lab, grid: int = 4, alpha: tuple[float, float] = (0.
         )
         for a in range(3)
     ]
-    img_w = jax.scipy.ndimage.map_coordinates(img, coords, order=1)
+    # Same warp for every channel ((X, Y, Z, C) input; plain (X, Y, Z) works
+    # too — rank is static under jit).
+    if img.ndim == 4:
+        img_w = jax.vmap(
+            lambda ch: jax.scipy.ndimage.map_coordinates(ch, coords, order=1),
+            in_axes=-1,
+            out_axes=-1,
+        )(img)
+    else:
+        img_w = jax.scipy.ndimage.map_coordinates(img, coords, order=1)
     lab_w = jax.scipy.ndimage.map_coordinates(
         lab, [jnp.round(c) for c in coords], order=0
     )
@@ -155,17 +155,22 @@ def _rand_intensity(key, img):
 
 
 def augment_one(key, img, lab, zoom: bool = True, elastic: bool = False):
-    """img: (X, Y, Z, C) float; lab: (X, Y, Z) int."""
+    """img: (X, Y, Z, C) float; lab: (X, Y, Z) int.
+
+    All C channels share one geometric transform (flip/rot/zoom/elastic act
+    on spatial axes 0-2 with the channel axis carried along — a squeeze to
+    channel 0 here once silently DROPPED extra channels); intensity jitter
+    applies to every channel."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    img3, lab3 = img[..., 0], lab
-    img3, lab3 = _rand_flip(k1, img3, lab3)
-    img3, lab3 = _rand_rot90(k2, img3, lab3)
+    img4, lab3 = img, lab
+    img4, lab3 = _rand_flip(k1, img4, lab3)
+    img4, lab3 = _rand_rot90(k2, img4, lab3)
     if zoom:
-        img3, lab3 = _rand_zoom(k4, img3, lab3)
+        img4, lab3 = _rand_zoom(k4, img4, lab3)
     if elastic:
-        img3, lab3 = _rand_elastic(k5, img3, lab3)
-    img3 = _rand_intensity(k3, img3)
-    return img3[..., None], lab3
+        img4, lab3 = _rand_elastic(k5, img4, lab3)
+    img4 = _rand_intensity(k3, img4)
+    return img4, lab3
 
 
 @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("zoom", "elastic"))

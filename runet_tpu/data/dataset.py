@@ -47,6 +47,9 @@ class PreparedCase:
     affine: np.ndarray
     # Per-class foreground voxel coordinates (N_c, 3) for fg-biased sampling.
     fg_coords: dict[int, np.ndarray] | None = None
+    # Lazily cached image minimum (data/sampler.py pad value): an O(volume)
+    # scan per PATCH draw on the 1-core host otherwise.
+    image_min: float | None = None
 
 
 def index_cases(root: str | Path) -> list[CaseRecord]:

@@ -48,9 +48,23 @@ def sample_patch(
     """
     size = np.asarray(patch_size)
     start = _sample_start(rng, case, size, fg_prob)
-    img = _crop_with_pad(case.image, start, tuple(size), case.image.min())
+    img = _crop_with_pad(case.image, start, tuple(size), _case_min(case))
     lab = _crop_with_pad(case.labels, start, tuple(size), 0)
     return img, lab
+
+
+def _case_min(case: PreparedCase) -> float:
+    """Cached volume minimum for pad values — computing it per draw is a
+    full O(volume) host scan (the exact per-sample cost this module's
+    single-copy design exists to avoid)."""
+    m = getattr(case, "image_min", None)
+    if m is None:
+        m = float(case.image.min())
+        try:
+            case.image_min = m
+        except Exception:  # frozen/foreign case object: just return it
+            pass
+    return m
 
 
 def _sample_start(
@@ -111,7 +125,7 @@ def sample_batch(
             labels[b] = case.labels[sl]
         else:  # volume smaller than the patch: padded crop (rare path)
             images[b, ..., 0] = _crop_with_pad(
-                case.image, start, tuple(size), case.image.min()
+                case.image, start, tuple(size), _case_min(case)
             )
             labels[b] = _crop_with_pad(case.labels, start, tuple(size), 0)
     return images, labels

@@ -154,9 +154,11 @@ def load_volume(path: str | Path) -> Volume:
         slope = 1.0
     if not np.isfinite(inter):
         inter = 0.0
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        if slope == 0.0:
-            slope = 1.0
+    if slope == 0.0:
+        # NIfTI convention (and nibabel semantics): slope 0 means "no
+        # scaling stored" — the intercept is ignored too, not applied alone.
+        slope, inter = 1.0, 0.0
+    if slope != 1.0 or inter != 0.0:
         data = data.astype(np.float32) * slope + inter
 
     if hdr["sform_code"] > 0:

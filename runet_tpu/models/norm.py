@@ -60,7 +60,11 @@ class InstanceNorm(nn.Module):
         if self.axis_name is not None:
             mean = jax.lax.pmean(mean, self.axis_name)
             sq = jax.lax.pmean(sq, self.axis_name)
-        var = sq - jnp.square(mean)
+        # Single-pass E[x²]−E[x]² can round NEGATIVE in f32 when |mean|≫std
+        # (near-constant channel late in training) — rsqrt would NaN the
+        # whole network; clamp at 0 (the reference two-pass formula is
+        # non-negative by construction).
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)

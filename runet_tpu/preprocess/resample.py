@@ -48,25 +48,37 @@ def _axis_positions_np(out_size: int, in_size: int, scale: float) -> np.ndarray:
     return np.clip(pos, 0.0, float(in_size - 1))
 
 
-@lru_cache(maxsize=256)
-def _interp_matrix(
-    in_size: int, out_size: int, scale: float, method: str
-) -> np.ndarray:
-    """(out_size, in_size) float32 interpolation matrix, ≤2 nonzeros/row."""
-    pos = _axis_positions_np(out_size, in_size, scale)
+def matrix_from_positions(pos: np.ndarray, in_size: int, method: str) -> np.ndarray:
+    """(len(pos), in_size) float32 interpolation matrix, ≤2 nonzeros/row.
+
+    The shared pos→W builder behind every dense-matmul interpolation in the
+    package (resampling here, the zoom bank and elastic-field upsample in
+    data/augment.py): ``pos`` are input-coordinate sample positions, assumed
+    already clamped to [0, in_size-1]."""
+    out_size = len(pos)
     W = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
     if method == "linear":
         i0 = np.clip(np.floor(pos).astype(np.int64), 0, in_size - 1)
         i1 = np.minimum(i0 + 1, in_size - 1)
         w = (pos - i0).astype(np.float32)
-        rows = np.arange(out_size)
         # i0 may equal i1 at the clamp edge: accumulate, don't overwrite.
         np.add.at(W, (rows, i0), 1.0 - w)
         np.add.at(W, (rows, i1), w)
     else:  # nearest: floor(x + 0.5) matches scipy order=0 tie-breaking.
         idx = np.clip(np.floor(pos + 0.5).astype(np.int64), 0, in_size - 1)
-        W[np.arange(out_size), idx] = 1.0
+        W[rows, idx] = 1.0
     return W
+
+
+@lru_cache(maxsize=256)
+def _interp_matrix(
+    in_size: int, out_size: int, scale: float, method: str
+) -> np.ndarray:
+    """(out_size, in_size) float32 interpolation matrix, ≤2 nonzeros/row."""
+    return matrix_from_positions(
+        _axis_positions_np(out_size, in_size, scale), in_size, method
+    )
 
 
 def _apply_axis(x: jnp.ndarray, axis: int, out_size: int, scale: float, method: str):

@@ -22,7 +22,8 @@ from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
-from orbax.checkpoint._src.checkpoint_managers import preservation_policy as _pp
+# Public re-export path (orbax reorganizes _src internals routinely).
+from orbax.checkpoint import checkpoint_managers as _pp
 
 
 class CheckpointManager:

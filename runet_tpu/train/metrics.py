@@ -8,6 +8,7 @@ run config serialized once at run start, so every run is reproducible.
 from __future__ import annotations
 
 import json
+import math
 import time
 from pathlib import Path
 
@@ -24,7 +25,10 @@ class MetricsLogger:
         rec = {"step": int(step), "wall_s": round(time.monotonic() - self._t0, 3)}
         for k, v in metrics.items():
             try:
-                rec[k] = float(v)
+                fv = float(v)
+                # A diverged run's NaN loss must not make the line invalid
+                # JSON (json.dumps would emit the non-RFC NaN token).
+                rec[k] = fv if math.isfinite(fv) else None
             except (TypeError, ValueError):
                 rec[k] = v
         self._f.write(json.dumps(rec) + "\n")

@@ -31,7 +31,14 @@ def _load() -> ctypes.CDLL | None:
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # A deployed prebuilt .so without the .cpp source is valid (use it);
+        # neither present -> scipy fallback, never a FileNotFoundError.
+        if _LIB.exists() and not _SRC.exists():
+            pass  # fall through to load the prebuilt library
+        elif not _SRC.exists():
+            _build_failed = True
+            return None
+        elif not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
             _LIB.parent.mkdir(parents=True, exist_ok=True)
             try:
                 subprocess.run(

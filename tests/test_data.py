@@ -96,6 +96,45 @@ def test_augment_shapes_and_label_consistency():
     assert set(np.unique(np.asarray(out_lab_z))) <= {0, 1}
 
 
+def test_augment_multichannel_shared_geometry():
+    """All C channels ride the same geometric transform; a regression once
+    squeezed to channel 0 and silently dropped the rest (output C=1)."""
+    from runet_tpu.data.augment import augment_one
+
+    rng = np.random.default_rng(11)
+    ch0 = rng.normal(size=(16, 16, 16, 1)).astype(np.float32)
+    img = np.concatenate([ch0, ch0], axis=-1)  # identical channels
+    lab = rng.integers(0, 3, size=(16, 16, 16)).astype(np.int32)
+    out_img, out_lab = jax.jit(augment_one, static_argnames=("zoom", "elastic"))(
+        jax.random.key(7), jnp.asarray(img), jnp.asarray(lab), zoom=True, elastic=True
+    )
+    assert out_img.shape == img.shape  # C=2 preserved
+    assert out_lab.shape == lab.shape
+    # Identical inputs + shared geometry -> outputs differ only by the
+    # per-voxel intensity noise (sigma=0.05; deterministic given the key).
+    diff = np.abs(np.asarray(out_img[..., 0]) - np.asarray(out_img[..., 1]))
+    # Divergent geometry would give diffs at signal scale (~several sigma of
+    # the N(0,1) input), not noise scale.
+    assert diff.max() < 0.5, diff.max()
+    c = np.corrcoef(
+        np.asarray(out_img[..., 0]).ravel(), np.asarray(out_img[..., 1]).ravel()
+    )[0, 1]
+    assert c > 0.97
+
+
+def test_sampler_caches_volume_min(tmp_path):
+    """Pad value = volume min, computed once per case (not per draw)."""
+    write_phantom_dataset(tmp_path, num_cases=1, shape=(24, 24, 16))
+    pp = PreprocessConfig(spacing=(2.0, 2.0, 2.0), hu_stats=None)
+    case = prepare_case(index_cases(tmp_path)[0], pp)
+    assert case.image_min is None
+    rng = np.random.default_rng(0)
+    img, _ = sample_patch(rng, case, (32, 32, 32))  # larger than vol: pads
+    assert case.image_min == float(case.image.min())
+    # Padded border voxels carry the cached min.
+    assert img[0, 0, 0] == case.image_min
+
+
 def test_zoom_matches_scipy_oracle():
     """Fixed-factor zoom == scipy map_coordinates at center-aligned coords."""
     from scipy.ndimage import map_coordinates

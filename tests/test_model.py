@@ -44,6 +44,21 @@ def test_instance_norm_train_eval_identical():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+def test_instance_norm_large_mean_no_nan():
+    """Single-pass E[x²]−E[x]² can round negative in f32 when |mean|≫std
+    (near-constant channel); rsqrt of a negative variance is NaN. The clamp
+    must keep the output finite."""
+    x = jnp.full((1, 16, 16, 16, 2), 1.0e4, jnp.float32)
+    m = InstanceNorm(affine=False)
+    y = m.apply({"params": {}}, x)
+    assert np.isfinite(np.asarray(y)).all()
+    # Also with a tiny perturbation (realistic near-constant activations).
+    rng = np.random.default_rng(3)
+    xp = x + jnp.asarray(rng.normal(0, 1e-3, x.shape).astype(np.float32))
+    yp = m.apply({"params": {}}, xp)
+    assert np.isfinite(np.asarray(yp)).all()
+
+
 def test_instance_norm_reference_fn():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 3, 4, 5, 2)).astype(np.float32))

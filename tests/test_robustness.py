@@ -49,6 +49,42 @@ def test_nifti_nonfinite_scl_slope_means_no_scaling(tmp_path):
     np.testing.assert_array_equal(vol.data, np.arange(8).reshape(2, 2, 2))
 
 
+def test_nifti_zero_slope_ignores_intercept(tmp_path):
+    # NIfTI convention: scl_slope == 0 means "no scaling stored"; the
+    # intercept must be ignored too, not applied alone.
+    data = np.arange(8, dtype="<i2").reshape(2, 2, 2)
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, 2, 2, 2, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, 4)  # int16
+    struct.pack_into("<h", hdr, 72, 16)
+    struct.pack_into("<8f", hdr, 76, 1.0, 1.0, 1.0, 1.0, 0, 0, 0, 0)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    struct.pack_into("<f", hdr, 112, 0.0)  # scl_slope = 0
+    struct.pack_into("<f", hdr, 116, 5.0)  # scl_inter = 5 (must be ignored)
+    hdr[344:348] = b"n+1\x00"
+    p = tmp_path / "zeroslope.nii"
+    p.write_bytes(bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F"))
+    vol = load_volume(p)
+    np.testing.assert_array_equal(vol.data, np.arange(8).reshape(2, 2, 2))
+
+
+def test_metrics_logger_nan_is_valid_json(tmp_path):
+    """A diverged run's NaN/inf loss must not corrupt metrics.jsonl —
+    json.dumps would emit the non-RFC NaN token strict parsers reject."""
+    import json
+
+    from runet_tpu.train.metrics import MetricsLogger
+
+    logger = MetricsLogger(tmp_path)
+    logger.log(1, loss=float("nan"), dice=float("inf"), ok=0.5, tag="a")
+    logger.close()
+    line = (tmp_path / "metrics.jsonl").read_text().strip()
+    rec = json.loads(line)  # parse=strict: would fail on bare NaN
+    assert rec["loss"] is None and rec["dice"] is None
+    assert rec["ok"] == 0.5 and rec["tag"] == "a"
+
+
 def test_nifti_rejects_garbage(tmp_path):
     p = tmp_path / "bad.nii"
     p.write_bytes(b"\x00" * 400)
