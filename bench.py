@@ -217,10 +217,23 @@ def _probe_device() -> None:
     round-3 session lost hours to exactly this failure mode)."""
     from runet_tpu.utils.health import probe_backend
 
-    ok, detail = probe_backend()
+    # A healthy tunnel answers jax.devices() in seconds; 2x120s bounds the
+    # dead-tunnel diagnosis at 4 min instead of health.py's 15-min default
+    # (meant for interactive doctor runs where patience is the caller's).
+    ok, detail = probe_backend(timeout_s=120, tries=2)
     if not ok:
         print(f"bench: TPU backend unreachable ({detail}); aborting before "
               "any work", file=sys.stderr, flush=True)
+        # Still emit ONE machine-readable JSON line so the round artifact
+        # records WHY there is no number (an empty BENCH_r*.json reads as a
+        # silent failure; value 0 + error field reads as "tunnel was down").
+        print(json.dumps({
+            "metric": "cascade_volumes_per_min",
+            "value": 0,
+            "unit": "volumes/min",
+            "vs_baseline": 0,
+            "error": f"TPU backend unreachable: {detail}",
+        }), flush=True)
         sys.exit(1)
 
 

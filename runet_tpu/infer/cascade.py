@@ -389,11 +389,15 @@ def predict_case(
         # the PASTE extent keeps the exact (unbucketed) want.
         cb = max(1, int(getattr(cascade, "crop_bucket", 16)))
         want_buf = -(-want // cb) * cb
-        extra = np.maximum(want_buf - (hi - lo), 0)
+        # Place the EXACT covered window first (symmetric growth to ``want``,
+        # identical to the unbucketed computation — bucketing must not move
+        # the window, or structures near the box edge fall out of coverage);
+        # the bucket buffer is then a pure suffix of real context / edge pad.
+        extra = np.maximum(want - (hi - lo), 0)
         lo = np.maximum(lo - extra // 2, 0)
-        lo = np.minimum(lo, np.maximum(np.asarray(image.shape) - want_buf, 0))
-        hi_buf = np.minimum(lo + want_buf, image.shape)
+        lo = np.minimum(lo, np.maximum(np.asarray(image.shape) - want, 0))
         hi = np.minimum(lo + want, image.shape)  # exact covered extent
+        hi_buf = np.minimum(lo + want_buf, image.shape)
         native_boxes.append((lo.copy(), hi.copy()))
         crop = image[lo[0] : hi_buf[0], lo[1] : hi_buf[1], lo[2] : hi_buf[2]]
         if np.any(hi_buf - lo < want_buf):
