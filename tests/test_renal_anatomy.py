@@ -95,10 +95,17 @@ def test_renal_anatomy_trained_five_class_cascade(tmp_path):
             fused_blocks=False,
         ),
         preprocess=PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None),
+        # Recipe robustness: 250 steps @ lr 3e-3 sat on a knife edge — the
+        # trajectory is chaotic enough that an unrelated numerics change
+        # (e.g. the IN variance clamp) or the suite's fake-8-device env
+        # flipped tumor Dice between 0.44 and 0.0. 400 steps @ lr 2e-3 with
+        # fg_prob 0.9 trains every class with margin (probed standalone:
+        # c1 0.96 / c2 0.82 / c3 0.83 / c4 0.85).
         train=dataclasses.replace(
             cfg.train, patch_size=(24, 24, 24), batch_size=2, grad_accum=1,
-            steps=250, lr=3e-3, lr_schedule="const", warmup_steps=10,
-            val_every=10**9, val_full_every=0, ckpt_every=10**9, fg_prob=0.7,
+            steps=400, lr=2e-3, lr_schedule="const", warmup_steps=10,
+            val_every=10**9, val_full_every=0, ckpt_every=10**9, fg_prob=0.9,
+            seed=1,
         ),
         infer=dataclasses.replace(cfg.infer, patch_size=(24, 24, 24)),
     )
@@ -141,8 +148,10 @@ def test_renal_anatomy_trained_five_class_cascade(tmp_path):
         cascade=CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2),
     )
     m = evaluate_prediction(pred, seg, 5)
-    # Measured on this recipe: c1 0.947, c2 0.533, c3 0.830, c4 0.786.
+    # Probed on this recipe: c1 0.959, c2 0.815, c3 0.826, c4 0.851
+    # (standalone CPU); thresholds leave room for env-induced trajectory
+    # noise while still requiring every class to be genuinely learned.
     assert m["dice_c1"] > 0.8, m
-    assert m["dice_c2"] > 0.3, m
+    assert m["dice_c2"] > 0.4, m
     assert m["dice_c3"] > 0.55, m
     assert m["dice_c4"] > 0.55, m

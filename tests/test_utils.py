@@ -145,3 +145,32 @@ def test_scanned_ms_keeps_computation_alive():
     t_conv = scanned_ms(conv_step, x, iters=8, reps=2)
     t_id = scanned_ms(lambda v: v + 0.0, x, iters=8, reps=2)
     assert t_conv > 3 * max(t_id, 1e-4), (t_conv, t_id)
+
+
+def test_bench_dead_tunnel_emits_error_json(monkeypatch, capsys):
+    """bench.py against an unreachable backend must still print ONE
+    machine-readable JSON line (value 0 + error field) before exiting 1 —
+    an empty BENCH_r*.json reads as a silent failure to the driver."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    import runet_tpu.utils.health as health
+
+    monkeypatch.setattr(
+        health, "probe_backend",
+        lambda timeout_s=300, tries=3: (False, "probe timed out (test)"),
+    )
+    with _pytest.raises(SystemExit) as exc:
+        bench._probe_device()
+    assert exc.value.code == 1
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = _json.loads(out[-1])
+    assert payload["metric"] == "cascade_volumes_per_min"
+    assert payload["value"] == 0
+    assert "unreachable" in payload["error"]
