@@ -552,6 +552,43 @@ def cmd_mesh(args):
         )
 
 
+def cmd_plan(args):
+    import dataclasses as _dc
+
+    from runet_tpu.data.fingerprint import (
+        fingerprint_dataset,
+        plan_json,
+        suggest_preprocess,
+    )
+
+    fp = fingerprint_dataset(args.data, limit=args.cases)
+    if args.config:
+        from runet_tpu.config import get_config
+
+        cfg = get_config(args.config)
+        cfg = _dc.replace(cfg, preprocess=suggest_preprocess(fp))
+        n = fp.get("num_classes_incl_bg")
+        if n and n != cfg.model.num_classes:
+            print(
+                f"plan: dataset has {n} classes (incl. background); "
+                f"overriding {args.config!r} model.num_classes="
+                f"{cfg.model.num_classes}",
+                file=sys.stderr,
+            )
+            cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, num_classes=n))
+        doc = json.loads(cfg.to_json())
+        doc["fingerprint"] = fp
+        out = json.dumps(doc, indent=1)
+    else:
+        out = plan_json(fp)
+    if args.out:
+        Path(args.out).write_text(out)
+        print(f"plan: wrote {args.out}")
+    else:
+        print(out)
+    return 0
+
+
 def cmd_doctor(args):
     import json
 
@@ -697,6 +734,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--pred", default=None, help="dir of predicted .nii.gz (from predict)")
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_visualize)
+
+    sp = sub.add_parser(
+        "plan",
+        help="fingerprint a dataset (fg HU percentiles, median spacing, "
+        "class balance) and emit a --config-ready JSON with the derived "
+        "preprocess section",
+    )
+    sp.add_argument("--data", required=True)
+    sp.add_argument("--out", default=None, help="write the plan JSON here")
+    sp.add_argument("--cases", type=int, default=None, help="scan first N cases")
+    sp.add_argument(
+        "--config", default=None,
+        help="preset (or config JSON) to merge the derived preprocess into; "
+        "without it the plan carries only the preprocess section",
+    )
+    sp.set_defaults(fn=cmd_plan)
 
     sp = sub.add_parser(
         "doctor",
