@@ -23,7 +23,9 @@ MC = ModelConfig(
 
 
 def _t(a) -> "torch.Tensor":
-    return torch.from_numpy(np.asarray(a, np.float32))
+    # np.array (copy) rather than asarray: jax arrays surface as read-only
+    # numpy views, and torch warns on non-writable tensors.
+    return torch.from_numpy(np.array(a, np.float32))
 
 
 def t_conv(x, kernel, stride=1):
@@ -168,7 +170,7 @@ def test_dice_ce_loss_matches_torch_oracle():
     loss_t = dl + ce
     loss_t.backward()
 
-    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-5)
     np.testing.assert_allclose(
         np.asarray(grad_j), t.grad.numpy(), rtol=1e-4, atol=1e-6
     )
