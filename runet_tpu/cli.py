@@ -157,10 +157,28 @@ def _with_tta(bundle):
     )
 
 
-def _pipelined_cascade(coarse, fine, case_iter, cascade_cfg, workers=2):
+def _resolve_lanes(n: int):
+    """--device-lanes N → the first N local devices (independent per-chip
+    serving lanes, infer/cascade.py), or None when off (N <= 0)."""
+    if n <= 0:
+        return None
+    import jax
+
+    devs = jax.local_devices()
+    if n > len(devs):
+        raise SystemExit(
+            f"--device-lanes {n}: only {len(devs)} local device(s) present"
+        )
+    return devs[:n]
+
+
+def _pipelined_cascade(coarse, fine, case_iter, cascade_cfg, workers=2,
+                       devices=None):
     """(cid, vol, gt, pred) stream via the pipelined serving path — host
     pre/post of one case overlaps device compute of the next
-    (infer/cascade.py predict_cases); holds ≤ workers+1 volumes in RAM."""
+    (infer/cascade.py predict_cases); holds ≤ workers+1 volumes in RAM.
+    ``devices`` replicates the models and fans cases out across per-chip
+    lanes."""
     from collections import deque
 
     from runet_tpu.infer.cascade import predict_cases
@@ -172,7 +190,8 @@ def _pipelined_cascade(coarse, fine, case_iter, cascade_cfg, workers=2):
             meta.append((cid, vol, gt))
             yield vol.data, vol.spacing
 
-    for pred in predict_cases(coarse, fine, gen(), cascade_cfg, workers=workers):
+    for pred in predict_cases(coarse, fine, gen(), cascade_cfg,
+                              workers=workers, devices=devices):
         cid, vol, gt = meta.popleft()
         yield cid, vol, gt, pred
 
@@ -203,7 +222,7 @@ def cmd_predict(args):
     if coarse is not None:
         for cid, vol, _gt, pred in _pipelined_cascade(
             coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade,
-            workers=args.workers,
+            workers=args.workers, devices=_resolve_lanes(args.device_lanes),
         ):
             emit(cid, vol, pred)
     else:
@@ -364,7 +383,9 @@ def cmd_serve(args):
 
         try:
             for cid, vol, _gt, pred in _pipelined_cascade(
-                coarse, fine, case_iter(), fine_cfg.cascade, workers=args.workers
+                coarse, fine, case_iter(), fine_cfg.cascade,
+                workers=args.workers,
+                devices=_resolve_lanes(args.device_lanes),
             ):
                 emit(cid, vol, pred, time.monotonic() - t_intake[cid])
         except Exception as e:
@@ -413,6 +434,7 @@ def cmd_evaluate(args):
             yield from _pipelined_cascade(
                 coarse, fine, labeled_cases(), fine_cfg.cascade,
                 workers=args.workers,
+                devices=_resolve_lanes(args.device_lanes),
             )
         else:
             for cid, vol, gt in labeled_cases():
@@ -648,6 +670,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True)
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
+    sp.add_argument("--device-lanes", type=int, default=0,
+                    help="serve cases across the first N local devices "
+                    "(independent per-chip lanes; 0 = single device)")
     sp.set_defaults(fn=cmd_predict)
 
     sp = sub.add_parser(
@@ -660,6 +685,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", default=None)
     sp.add_argument("--tta", action="store_true")
     sp.add_argument("--workers", type=int, default=2)
+    sp.add_argument("--device-lanes", type=int, default=0,
+                    help="serve cases across the first N local devices "
+                    "(independent per-chip lanes; 0 = single device)")
     sp.add_argument("--poll", type=float, default=2.0, help="rescan interval seconds")
     sp.add_argument("--once", action="store_true", help="drain current backlog and exit")
     sp.add_argument(
@@ -675,6 +703,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--config", default=None)
     sp.add_argument("--tta", action="store_true", help="mirror-flip test-time augmentation (fine stage)")
     sp.add_argument("--workers", type=int, default=2, help="pipelined cascade workers")
+    sp.add_argument("--device-lanes", type=int, default=0,
+                    help="serve cases across the first N local devices "
+                    "(independent per-chip lanes; 0 = single device)")
     sp.add_argument("--out", default=None, help="also write {cases, summary} JSON here")
     sp.add_argument(
         "--surface", action="store_true",

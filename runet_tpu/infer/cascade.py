@@ -487,6 +487,14 @@ def predict_case(
     return native_canvas
 
 
+def bundle_on_device(bundle: ModelBundle, device) -> ModelBundle:
+    """Copy of ``bundle`` with params committed to ``device`` (one serving
+    lane of the multi-chip path below)."""
+    return dataclasses.replace(
+        bundle, params=jax.device_put(bundle.params, device)
+    )
+
+
 def predict_cases(
     coarse: ModelBundle,
     fine: ModelBundle,
@@ -494,6 +502,7 @@ def predict_cases(
     cascade: CascadeConfig = CascadeConfig(),
     postprocess: bool = True,
     workers: int = 2,
+    devices=None,
 ):
     """Pipelined multi-case cascade (the BASELINE metric is volumes/MINUTE —
     this is the serving path for it).
@@ -506,21 +515,51 @@ def predict_cases(
     host labels components. JAX dispatch is thread-safe and the jitted
     programs are shared across threads (same shapes → same executables).
 
+    ``devices`` (list of jax devices) turns on multi-chip serving: each
+    device is an INDEPENDENT serving lane — params are replicated onto it
+    and a worker thread pins its whole case (uploads, programs,
+    accumulators) there via ``jax.default_device``. Cases share nothing, so
+    lanes need no collectives and throughput scales with chip count; this
+    is deliberately NOT window-sharding, which would all-reduce full-volume
+    f32 accumulators across ICI per window group while per-device window
+    batching is already a measured regression (sliding_window.py). With
+    ``devices`` set, ``workers`` is the lane count.
+
     Results are yielded IN ORDER as they complete. ``cases`` may be a lazy
     iterator (e.g. streaming NIfTI loads): at most ``workers + 1`` cases are
     in flight, so a 200-case sweep never holds every volume in host RAM.
     """
+    import queue
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+
+    if devices:
+        lanes: queue.SimpleQueue = queue.SimpleQueue()
+        for dev in devices:
+            lanes.put(
+                (dev, bundle_on_device(coarse, dev), bundle_on_device(fine, dev))
+            )
+        workers = len(devices)
+
+        def run_one(img, sp):
+            dev, c_d, f_d = lanes.get()
+            try:
+                with jax.default_device(dev):
+                    return predict_case(c_d, f_d, img, sp, cascade, postprocess)
+            finally:
+                lanes.put((dev, c_d, f_d))
+
+    else:
+
+        def run_one(img, sp):
+            return predict_case(coarse, fine, img, sp, cascade, postprocess)
 
     it = iter(cases)
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         inflight: deque = deque()
         for args in it:
             img, sp = args
-            inflight.append(
-                pool.submit(predict_case, coarse, fine, img, sp, cascade, postprocess)
-            )
+            inflight.append(pool.submit(run_one, img, sp))
             if len(inflight) > workers:
                 yield inflight.popleft().result()
         while inflight:

@@ -33,18 +33,36 @@ def gaussian_importance_map(
     return out.astype(dtype)
 
 
-@lru_cache(maxsize=4)
 def gaussian_importance_map_device(
     patch_size: tuple[int, int, int],
     sigma_scale: float = 0.125,
 ):
-    """Device-resident importance map, built ON device from three 1-D
-    factors (≈1 KB host→device instead of the full 3-D map — a super-window
-    map is tens of MB, and the PJRT tunnel made per-call uploads the
-    dominant cost of the windowed fallback; measured in round 2). Cache is
-    deliberately SMALL: each entry pins an f32 map in HBM (a super-window
-    map at the 8×128³ budget is ~67 MB; 32 entries would pin ~2 GB) and a
-    sweep only alternates between a couple of window shapes."""
+    """Device-resident importance map for the CURRENT default device.
+
+    Keyed on the thread-local ``jax.default_device`` so each multi-chip
+    serving lane (infer/cascade.py predict_cases ``devices=``) caches its
+    own copy — a single shared entry would pin to the first lane's chip and
+    re-cross ICI on every other lane's window group."""
+    import jax
+
+    return _gaussian_map_on_device(
+        patch_size, sigma_scale, jax.config.jax_default_device
+    )
+
+
+@lru_cache(maxsize=8)
+def _gaussian_map_on_device(
+    patch_size: tuple[int, int, int],
+    sigma_scale: float,
+    _device,  # cache key only; creation follows the ambient default device
+):
+    """Built ON device from three 1-D factors (≈1 KB host→device instead of
+    the full 3-D map — a super-window map is tens of MB, and the PJRT tunnel
+    made per-call uploads the dominant cost of the windowed fallback;
+    measured in round 2). Cache is deliberately SMALL: each entry pins an
+    f32 map in HBM (a super-window map at the 8×128³ budget is ~67 MB; 32
+    entries would pin ~2 GB) and a sweep only alternates between a couple of
+    window shapes."""
     import jax.numpy as jnp
 
     axes = []

@@ -267,3 +267,56 @@ def test_predict_case_int16_input_matches_float():
         coarse, fine, img.astype(np.int16), (1.0, 1.0, 1.5), cascade=cfg
     )
     np.testing.assert_array_equal(p_f, p_i)
+
+
+def test_predict_cases_device_lanes_match_sequential():
+    """Multi-chip serving lanes (devices=...): each case pinned to its own
+    device via jax.default_device must reproduce the single-device result
+    bit-for-bit, in order — on the conftest's fake 8-CPU mesh."""
+    import jax
+
+    from runet_tpu.infer.cascade import bundle_on_device, predict_cases
+    from runet_tpu.models.unet3d import UNet3D, init_params
+    from runet_tpu.config import ModelConfig
+
+    # Real (randomly initialized) fine model: exercises params replication
+    # onto each lane device, not just closure-only oracles.
+    mc = ModelConfig(num_classes=3, base_features=4, max_features=8,
+                     num_levels=2, compute_dtype="float32", fused_blocks=False)
+    model = UNet3D(mc)
+    params = init_params(model, jax.random.key(0), (16, 16, 16))
+
+    def fine_apply(p, w):
+        return model.apply({"params": p}, w)
+
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(16, 16, 16), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=fine_apply, params=params, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(16, 16, 16), overlap=0.5),
+    )
+    cascade_cfg = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+
+    cases = []
+    for seed in (0, 1, 2, 3):
+        _, seg = make_phantom((40, 40, 28), (2.0, 2.0, 2.5), num_classes=3, seed=seed)
+        cases.append((seg.astype(np.float32), (1.0, 1.0, 1.5)))
+
+    seq = [predict_case(coarse, fine, img, sp, cascade_cfg) for img, sp in cases]
+
+    devices = jax.devices()[:4]
+    assert len(devices) == 4  # conftest fakes 8 CPU devices
+    laned = list(predict_cases(coarse, fine, iter(cases), cascade_cfg,
+                               devices=devices))
+    assert len(laned) == 4
+    for a, b in zip(seq, laned):
+        np.testing.assert_array_equal(a, b)
+
+    # bundle_on_device commits params to the target device.
+    b1 = bundle_on_device(fine, devices[1])
+    leaf = jax.tree_util.tree_leaves(b1.params)[0]
+    assert devices[1] in leaf.devices()
