@@ -88,6 +88,8 @@ class TrainConfig:
     warmup_steps: int = 500
     lr_schedule: str = "poly"  # poly | cosine | const
     poly_power: float = 0.9
+    optimizer: str = "adamw"  # adamw | sgd (Nesterov, nnU-Net lineage)
+    sgd_momentum: float = 0.99
     grad_accum: int = 1
     # Micro-steps fused into ONE device dispatch (lax.scan in the jitted
     # step; train/state.py make_multi_train_step). Amortizes per-dispatch

@@ -39,10 +39,21 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(12.0),
-        optax.adamw(make_lr_schedule(cfg), weight_decay=cfg.weight_decay),
-    )
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(make_lr_schedule(cfg), weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        # nnU-Net-lineage default ([DOMAIN]): SGD + Nesterov momentum 0.99
+        # with the poly schedule; weight decay applied decoupled so it stays
+        # comparable with the adamw path.
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(
+                make_lr_schedule(cfg), momentum=cfg.sgd_momentum, nesterov=True
+            ),
+        )
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    tx = optax.chain(optax.clip_by_global_norm(12.0), opt)
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx

@@ -294,3 +294,37 @@ def test_loop_steps_per_dispatch_multidevice_tail(tmp_path):
         jax.tree_util.tree_leaves(s2.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_sgd_optimizer_trains(tmp_path):
+    """TrainConfig.optimizer='sgd' (Nesterov, nnU-Net lineage): the loop
+    runs, the loss is finite and moves, and an unknown name raises."""
+    import dataclasses
+    from pathlib import Path
+
+    import pytest
+
+    from runet_tpu.config import Config, PreprocessConfig
+    from runet_tpu.data.phantom import write_phantom_dataset
+    from runet_tpu.train.loop import train
+    from runet_tpu.train.state import make_optimizer
+
+    data = tmp_path / "data"
+    write_phantom_dataset(Path(data), num_cases=1, shape=(24, 24, 16),
+                          spacing=(1.0, 1.0, 1.0))
+    cfg = Config(
+        model=ModelConfig(num_classes=2, base_features=4, num_levels=2,
+                          compute_dtype="float32"),
+        preprocess=PreprocessConfig(spacing=(1.0, 1.0, 1.0), hu_stats=None),
+        train=TrainConfig(patch_size=(8, 8, 8), batch_size=2, steps=30,
+                          lr=1e-2, warmup_steps=0, lr_schedule="poly",
+                          optimizer="sgd", val_every=1000, ckpt_every=1000,
+                          seed=3),
+    )
+    state, aux = train(cfg, data_root=data, out_dir=tmp_path / "run",
+                       log_every=1000)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state.step) == 30
+
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_optimizer(dataclasses.replace(cfg.train, optimizer="bogus"))
