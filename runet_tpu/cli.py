@@ -496,13 +496,16 @@ def cmd_warmup(args):
             if i >= args.cases:
                 break
             cases.append((vol.data, vol.spacing))
-        stats.update(warmup_cases(coarse, fine, cases, fine_cfg.cascade))
+        stats.update(warmup_cases(coarse, fine, cases, fine_cfg.cascade,
+                                  devices=_resolve_lanes(args.device_lanes)))
     elif args.shape:
         # No data: an all-air dummy case warms the (canonical) coarse
         # program; pair with --roi for the fine buckets.
         img = np.full(tuple(args.shape), -1000.0, np.float16)
         stats.update(
-            warmup_cases(coarse, fine, [(img, tuple(args.spacing))], fine_cfg.cascade)
+            warmup_cases(coarse, fine, [(img, tuple(args.spacing))],
+                         fine_cfg.cascade,
+                         devices=_resolve_lanes(args.device_lanes))
         )
     if args.roi:
         shapes = [tuple(int(v) for v in s.split("x")) for s in args.roi]
@@ -733,6 +736,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--roi", nargs="*", default=None,
                     help="explicit fine ROI buckets to warm, e.g. 192x160x256")
     sp.add_argument("--tta", action="store_true")
+    sp.add_argument("--device-lanes", type=int, default=0,
+                    help="also warm each of the first N local devices "
+                    "(per-chip serving lanes have per-device executables)")
     sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("export", help="export a run's best checkpoint to a serving .npz")

@@ -40,25 +40,52 @@ def warmup_cases(
     cases,  # iterable of (image, native_spacing)
     cascade: CascadeConfig = CascadeConfig(),
     workers: int = 2,
+    devices=None,
 ) -> dict[str, float]:
     """Warm every cascade program touched by the given cases (full
-    ``predict_case`` path, results discarded). Returns per-case seconds."""
-    from runet_tpu.infer.cascade import predict_case
+    ``predict_case`` path, results discarded). Returns per-case seconds.
 
-    def timed(img, sp):
+    ``devices``: warm each multi-chip serving lane (predict_cases
+    ``devices=``) — jit executables are per-device, so a deployment using N
+    lanes must warm the case set on each of the N chips (done concurrently,
+    one thread per lane-case)."""
+    import jax
+
+    from runet_tpu.infer.cascade import bundle_on_device, predict_case
+
+    def timed(img, sp, dev=None, c=None, f=None):
         # Timed INSIDE the submitted callable: measuring completion deltas
         # between concurrently-running futures on the caller thread would
         # attribute near-zero cost to every case after the first.
         t0 = time.monotonic()
-        predict_case(coarse, fine, img, sp, cascade)
+        if dev is None:
+            predict_case(coarse, fine, img, sp, cascade)
+        else:
+            with jax.default_device(dev):
+                predict_case(c, f, img, sp, cascade)
         return time.monotonic() - t0
 
     out: dict[str, float] = {}
     t_all = time.monotonic()
-    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        futs = [pool.submit(timed, img, sp) for img, sp in cases]
-        for i, f in enumerate(futs):
-            out[f"case{i}_s"] = round(f.result(), 2)
+    if devices:
+        cases = list(cases)
+        lanes = [
+            (dev, bundle_on_device(coarse, dev), bundle_on_device(fine, dev))
+            for dev in devices
+        ]
+        with ThreadPoolExecutor(max_workers=max(1, workers) * len(lanes)) as pool:
+            futs = {
+                (j, i): pool.submit(timed, img, sp, dev, c, f)
+                for j, (dev, c, f) in enumerate(lanes)
+                for i, (img, sp) in enumerate(cases)
+            }
+            for (j, i), f in futs.items():
+                out[f"lane{j}_case{i}_s"] = round(f.result(), 2)
+    else:
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            futs = [pool.submit(timed, img, sp) for img, sp in cases]
+            for i, f in enumerate(futs):
+                out[f"case{i}_s"] = round(f.result(), 2)
     out["total_s"] = round(time.monotonic() - t_all, 2)
     return out
 
