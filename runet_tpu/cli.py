@@ -196,6 +196,38 @@ def _pipelined_cascade(coarse, fine, case_iter, cascade_cfg, workers=2,
         yield cid, vol, gt, pred
 
 
+class _AsyncWriter:
+    """Overlap per-case output writing with the next case's device compute.
+
+    gzip of a native-shape labelmap (plus meshes/report in serve) costs
+    0.3-1+ s of host CPU per case; done serially on the results loop it
+    would stall the pipelined cascade's yield path and cap volumes/min. One
+    writer thread keeps disk writes from contending with each other;
+    ``max_pending`` bounds how many finished predictions (tens of MB each)
+    wait in RAM. ``submit`` applies backpressure; ``close`` drains and
+    re-raises the first write error (unless the task guards itself)."""
+
+    def __init__(self, max_pending: int = 2):
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = deque()
+        self._max = max_pending
+
+    def submit(self, fn, *a) -> None:
+        self._pending.append(self._pool.submit(fn, *a))
+        while len(self._pending) > self._max:
+            self._pending.popleft().result()
+
+    def close(self) -> None:
+        try:
+            while self._pending:
+                self._pending.popleft().result()
+        finally:
+            self._pool.shutdown(wait=True)
+
+
 def cmd_predict(args):
     from runet_tpu.infer.cascade import predict_volume
     from runet_tpu.io.nifti import save_volume
@@ -220,11 +252,16 @@ def cmd_predict(args):
             "cascade fetches per-ROI labels only"
         )
     if coarse is not None:
-        for cid, vol, _gt, pred in _pipelined_cascade(
-            coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade,
-            workers=args.workers, devices=_resolve_lanes(args.device_lanes),
-        ):
-            emit(cid, vol, pred)
+        w = _AsyncWriter()
+        try:
+            for cid, vol, _gt, pred in _pipelined_cascade(
+                coarse, fine, _iter_cases(Path(args.data)), fine_cfg.cascade,
+                workers=args.workers,
+                devices=_resolve_lanes(args.device_lanes),
+            ):
+                w.submit(emit, cid, vol, pred)
+        finally:
+            w.close()
     else:
         probs_dir = Path(args.probs_out) if args.probs_out else None
         if probs_dir:
@@ -381,14 +418,26 @@ def cmd_serve(args):
                 t_intake[cid] = time.monotonic()
                 yield cid, vol, None
 
+        def emit_guarded(cid, vol, pred, dt):
+            # Runs on the writer thread: a write/mesh failure marks THIS
+            # case failed instead of surfacing later and aborting the batch.
+            try:
+                emit(cid, vol, pred, dt)
+            except Exception as e:
+                mark_failed(cid, e)
+
+        w = _AsyncWriter()
         try:
             for cid, vol, _gt, pred in _pipelined_cascade(
                 coarse, fine, case_iter(), fine_cfg.cascade,
                 workers=args.workers,
                 devices=_resolve_lanes(args.device_lanes),
             ):
-                emit(cid, vol, pred, time.monotonic() - t_intake[cid])
+                w.submit(emit_guarded, cid, vol, pred,
+                         time.monotonic() - t_intake[cid])
+            w.close()
         except Exception as e:
+            w.close()
             # One bad case aborts the shared pipeline; isolate it by
             # re-running the remainder per-case (each in its own guard).
             print(f"pipelined batch failed ({e!r}); retrying per-case",
