@@ -60,15 +60,46 @@ def make_case(seed=0):
     return img, seg
 
 
+# Bump when training NUMERICS change in code the config can't see
+# (loss, augmentation, init, sampler) — invalidates cached bench params.
+NUMERICS_REV = 1
+
+
 def _params_cache(name):
     return Path(f"/tmp/runet_bench_params_{name}.npz")
+
+
+def _numerics_fingerprint(name: str) -> str:
+    """Cache-validity key for briefly-trained bench params: the full preset
+    config JSON (model/train/preprocess numerics) + the bench's own training
+    knobs + a manual revision for code-level numerics changes. A stale cache
+    silently skewed the quality columns in round 3 (the old contract was
+    'delete /tmp/runet_bench_params_* by hand after numerics changes')."""
+    import hashlib
+
+    from runet_tpu.config import get_config
+
+    key = json.dumps(
+        {
+            "cfg": get_config(name).to_json(),
+            "steps": TRAIN_STEPS,
+            "patch": TRAIN_PATCH,
+            "rev": NUMERICS_REV,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
 
 
 def _save_params(name, params):
     from flax.traverse_util import flatten_dict
 
     flat = {"/".join(k): np.asarray(v) for k, v in flatten_dict(params).items()}
-    np.savez(_params_cache(name), **flat)
+    np.savez(
+        _params_cache(name),
+        __fingerprint__=np.str_(_numerics_fingerprint(name)),
+        **flat,
+    )
 
 
 def _load_params(name):
@@ -78,7 +109,17 @@ def _load_params(name):
     if not p.exists():
         return None
     z = np.load(p)
-    return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+    fp = str(z["__fingerprint__"]) if "__fingerprint__" in z.files else ""
+    if fp != _numerics_fingerprint(name):
+        print(
+            f"bench: params cache {p} stale (numerics fingerprint "
+            f"{fp or 'absent'} != {_numerics_fingerprint(name)}); retraining",
+            file=sys.stderr,
+        )
+        return None
+    return unflatten_dict(
+        {tuple(k.split("/")): z[k] for k in z.files if k != "__fingerprint__"}
+    )
 
 
 def trained_bundle(preset: str, data_root: Path):
