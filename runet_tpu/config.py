@@ -95,7 +95,11 @@ class TrainConfig:
     # step; train/state.py make_multi_train_step). Amortizes per-dispatch
     # host overhead through the tunnel. log_every/val_every/ckpt_every/
     # val_full_every must be multiples of it (train/loop.py validates);
-    # 1 = classic one-dispatch-per-step.
+    # 1 = classic one-dispatch-per-step. Measured on the v5e (2026-08-19,
+    # BENCH_r03_insession run 4): scan-of-8 180.0 vs dispatched 179.0
+    # ms/micro-step at 128^3 b1 — per-dispatch overhead is already hidden
+    # behind the 179 ms of compute, so presets keep 1; the knob pays only
+    # for much smaller steps (small patches / tiny models).
     steps_per_dispatch: int = 1
     seed: int = 0
     ckpt_every: int = 1000
