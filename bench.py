@@ -79,9 +79,15 @@ def _numerics_fingerprint(name: str) -> str:
 
     from runet_tpu.config import get_config
 
+    cfg = get_config(name)
+    cfg_json = json.loads(cfg.to_json())
+    # Only the sub-configs that shape the trained params: cascade/infer
+    # knobs (ROI buckets, roi_batch, TTA...) route inference around a model
+    # but cannot change what training produced, so they must not invalidate
+    # the cache (adding CascadeConfig.roi_batch forced a pointless retrain).
     key = json.dumps(
         {
-            "cfg": get_config(name).to_json(),
+            "cfg": {k: cfg_json.get(k) for k in ("model", "train", "preprocess")},
             "steps": TRAIN_STEPS,
             "patch": TRAIN_PATCH,
             "rev": NUMERICS_REV,

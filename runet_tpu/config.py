@@ -186,6 +186,13 @@ class CascadeConfig:
     # Falls back to 16-bucketed true shape if a case exceeds it.
     coarse_canonical: tuple[int, int, int] = (128, 128, 128)
     max_components: int = 2  # keep <=2 largest kidney CCs
+    # Same-bucket single-pass ROIs dispatched as ONE B-batched program.
+    # Measured (ROI_OVERLAP.json, v5e): the fine forward at the modal 128³
+    # kidney bucket is not batch-saturated — B=2 runs 75.3 ms vs 2×51.1,
+    # ~27 ms/case at the typical two-kidneys-per-case load. Leftover singles
+    # always use the B=1 program, so compile classes stay bounded by the
+    # bucket set (+1 batched class per bucket actually seen at B).
+    roi_batch: int = 2
     # Hard cap on ROI physical extent per axis: a kidney+tumor fits well
     # inside 192 mm; this bounds fine-stage cost even if the coarse mask
     # degenerates (e.g. early in training).

@@ -224,6 +224,54 @@ def _roi_program(
     return native
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn", "padded_shape", "fine_shape", "crop_shape",
+        "num_classes", "hu_window", "hu_stats",
+    ),
+)
+def _roi_program_batch(
+    apply_fn,
+    params,
+    crops,  # (B, cx, cy, cz) native-spacing HU crops, same bucket (f16)
+    padded_shape, fine_shape, crop_shape,
+    scale_nf, scale_fn,
+    num_classes, hu_window, hu_stats,
+):
+    """``_roi_program`` for B same-bucket ROIs in ONE dispatch. Measured on
+    the v5e (ROI_OVERLAP.json, 2026-08-19): the U-Net forward at the modal
+    128³ kidney bucket is NOT batch-saturated at B=1 — B=2 runs 75.3 ms vs
+    2×51.1, a ~27 ms/case win at the typical two-kidneys-per-case load
+    (~4-5%% of the 0.58 s/vol pipelined budget). Resample/normalize are
+    vmapped per-sample (normalize must see per-ROI stats when hu_stats is
+    None); the model forward and nibble-pack are natively batch-shaped.
+    Statics match ``_roi_program`` so compile classes stay bounded by the
+    bucket set (one extra class per bucket actually seen at B>1)."""
+
+    def _prep(c):
+        roi = resample_dynamic(c, padded_shape, scale_nf, "linear")
+        return normalize(roi, hu_window, hu_stats)
+
+    roi = jax.vmap(_prep)(crops)
+    logits = apply_fn(params, roi[..., None])  # (B, *padded, K)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    labels = labels[:, : fine_shape[0], : fine_shape[1], : fine_shape[2]]
+
+    def _back(lab):
+        return resample_labels_onehot_dynamic(
+            lab.astype(jnp.int32), crop_shape, scale_fn, num_classes
+        ).astype(jnp.uint8)
+
+    native = jax.vmap(_back)(labels)
+    if num_classes <= 16:
+        from runet_tpu.infer.packing import pack_nibbles
+
+        return pack_nibbles(native)  # last-axis packing is batch-agnostic
+    return native
+
+
 def predict_volume(
     fine: ModelBundle, image: np.ndarray, native_spacing,
     return_probs: bool = False,
@@ -343,7 +391,51 @@ def predict_case(
     )
     margin_vox = np.ceil(cascade.roi_margin_mm / n_sp).astype(int)
     native_boxes: list[tuple[np.ndarray, np.ndarray]] = []
-    roi_results: list[tuple[np.ndarray, np.ndarray, tuple, jnp.ndarray]] = []
+    # (lo, hi, want_buf, device_array, batch_index_or_None)
+    roi_results: list[tuple[np.ndarray, np.ndarray, tuple, jnp.ndarray, int | None]] = []
+
+    # ROI batching (CascadeConfig.roi_batch): single-pass ROIs whose bucketed
+    # shapes match are held here and dispatched as ONE B-batched program.
+    # Measured decision (ROI_OVERLAP.json): the forward at the modal kidney
+    # bucket is not saturated at B=1 (B=2 is 26% cheaper per ROI), and the
+    # typical case has exactly two same-bucket kidney ROIs. Leftover singles
+    # flush through the B=1 program after the loop — never a fresh compile
+    # class for an odd group size. Note staging can reorder PASTES across
+    # buckets (batched group lands when it fills; stragglers after) — only
+    # observable where two ROI boxes overlap with conflicting nonzero
+    # labels, which is ambiguous territory under any order.
+    roi_batch = max(1, int(getattr(cascade, "roi_batch", 1)))
+    pending_rois: dict[tuple, list] = {}
+    scale_nf_a = np.asarray([f / n for n, f in zip(n_sp, f_sp)], np.float32)
+    scale_fn_a = np.asarray([n / f for n, f in zip(n_sp, f_sp)], np.float32)
+
+    def _dispatch_rois(entries):
+        """One device dispatch for 1..B staged same-bucket ROIs."""
+        padded = entries[0][4]
+        common = (
+            scale_nf_a, scale_fn_a,
+            fine.num_classes, fine.preprocess.hu_window, fine.preprocess.hu_stats,
+        )
+        with t.phase("roi_dispatch"):
+            if len(entries) == 1:
+                lo_, hi_, wb_, crop_, _p = entries[0]
+                dev = _roi_program(
+                    fine_apply, fine.params,
+                    jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(crop_))),
+                    padded, padded, tuple(crop_.shape), *common,
+                )
+                roi_results.append((lo_, hi_, wb_, dev, None))
+            else:
+                crops = np.stack([
+                    _to_transfer_dtype(np.ascontiguousarray(e[3]))
+                    for e in entries
+                ])
+                dev = _roi_program_batch(
+                    fine_apply, fine.params, jnp.asarray(crops),
+                    padded, padded, tuple(crops.shape[1:]), *common,
+                )
+                for i, (lo_, hi_, wb_, _c, _p) in enumerate(entries):
+                    roi_results.append((lo_, hi_, wb_, dev, i))
 
     for lo_c, hi_c in boxes:
         # coarse voxel -> mm -> NATIVE voxel, plus margin.
@@ -413,23 +505,22 @@ def predict_case(
             <= fine.infer.single_pass_ratio * np.prod(fine.infer.patch_size)
         )
         if single_pass:
-            # Entire ROI chain as ONE dispatch; fetched after all ROIs are
-            # in flight so the device pipelines them.
-            with t.phase("roi_dispatch"):
-                dev = _roi_program(
-                    fine_apply,
-                    fine.params,
-                    jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(crop))),
-                    padded_shape,
-                    tuple(fine_shape),
-                    tuple(crop.shape),
-                    np.asarray(scale_nf, np.float32),  # traced
-                    np.asarray(scale_fn, np.float32),  # traced
-                    fine.num_classes,
-                    fine.preprocess.hu_window,
-                    fine.preprocess.hu_stats,
-                )
-            roi_results.append((lo, hi, tuple(int(w) for w in want_buf), dev))
+            # Entire ROI chain as ONE dispatch (or one per same-bucket GROUP
+            # when roi_batch > 1); fetched after all ROIs are in flight so
+            # the device pipelines them.
+            entry = (
+                lo, hi, tuple(int(w) for w in want_buf), crop,
+                tuple(int(p) for p in padded_shape),
+            )
+            if roi_batch > 1:
+                key = (entry[4], tuple(crop.shape))
+                grp = pending_rois.setdefault(key, [])
+                grp.append(entry)
+                if len(grp) >= roi_batch:
+                    _dispatch_rois(grp)
+                    pending_rois[key] = []
+            else:
+                _dispatch_rois([entry])
         else:
             with t.phase("roi_preprocess"):
                 roi = resample_dynamic(
@@ -457,18 +548,34 @@ def predict_case(
                     if fine.num_classes <= 16
                     else native
                 )
-            roi_results.append((lo, hi, tuple(int(w) for w in want_buf), dev))
+            roi_results.append((lo, hi, tuple(int(w) for w in want_buf), dev, None))
+
+    # Flush staged ROIs. Groups still short of roi_batch at loop end go
+    # through the B=1 program one by one — a leftover group size never mints
+    # a fresh compile class (with the default roi_batch=2 leftovers are
+    # singletons anyway; only full groups use the batched class).
+    for grp in pending_rois.values():
+        for e in grp:
+            _dispatch_rois([e])
 
     # ---- fetch + paste (device work for all ROIs already in flight) ----
     from runet_tpu.infer.packing import unpack_nibbles
 
-    for lo, hi, want_buf, dev in roi_results:
+    fetched_memo: dict[int, np.ndarray] = {}
+    for lo, hi, want_buf, dev, bidx in roi_results:
         with t.phase("roi_fetch_paste"):
             # Labels come back at the crop BUFFER shape ``want_buf``; only
             # the exactly-covered in-volume region [0 : hi-lo) is pasted
             # (the rest is bucket buffer / edge padding, whose fine-grid
-            # source would be clamped).
-            fetched = np.asarray(dev)
+            # source would be clamped). Batched dispatches fetch ONCE per
+            # device array (keyed by id; ``roi_results`` keeps dev alive so
+            # ids are stable) and index out each sample.
+            fetched = fetched_memo.get(id(dev))
+            if fetched is None:
+                fetched = np.asarray(dev)
+                fetched_memo[id(dev)] = fetched
+            if bidx is not None:
+                fetched = fetched[bidx]
             if fine.num_classes <= 16:
                 fetched = unpack_nibbles(fetched, want_buf[2])
             crop_labels = fetched[

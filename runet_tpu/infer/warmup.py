@@ -104,7 +104,7 @@ def warmup_roi_buckets(
     (fine bucket, crop bucket) shape class."""
     import jax.numpy as jnp
 
-    from runet_tpu.infer.cascade import _roi_program
+    from runet_tpu.infer.cascade import _roi_program, _roi_program_batch
     from runet_tpu.infer.tta import effective_apply_fn
 
     n_sp = np.asarray(native_spacing, np.float64)
@@ -113,8 +113,10 @@ def warmup_roi_buckets(
     scale_fn = tuple(n / f for n, f in zip(n_sp, f_sp))
     apply_fn = effective_apply_fn(fine)
     cb = max(1, int(getattr(cascade, "crop_bucket", 16)))
+    roi_batch = max(1, int(getattr(cascade, "roi_batch", 1)))
 
-    def one(padded):
+    def one(job):
+        padded, B = job
         padded = tuple(int(p) for p in padded)
         # Same crop-extent bucketing as predict_case: the crop shape is a
         # static of the ROI program and must match what serving dispatches.
@@ -122,28 +124,38 @@ def warmup_roi_buckets(
             -(-(int(np.ceil((p - 1) * s)) + 1) // cb) * cb
             for p, s in zip(padded, scale_nf)
         )
-        t0 = time.monotonic()
-        out = _roi_program(
-            apply_fn,
-            fine.params,
-            jnp.zeros(want, jnp.float16),
-            padded,
-            padded,
-            want,
+        common = (
             np.asarray(scale_nf, np.float32),
             np.asarray(scale_fn, np.float32),
             fine.num_classes,
             fine.preprocess.hu_window,
             fine.preprocess.hu_stats,
         )
+        t0 = time.monotonic()
+        if B == 1:
+            out = _roi_program(
+                apply_fn, fine.params, jnp.zeros(want, jnp.float16),
+                padded, padded, want, *common,
+            )
+        else:
+            out = _roi_program_batch(
+                apply_fn, fine.params, jnp.zeros((B, *want), jnp.float16),
+                padded, padded, want, *common,
+            )
         out.block_until_ready()
         return time.monotonic() - t0
 
     out: dict[str, float] = {}
     t_all = time.monotonic()
-    shapes = [tuple(int(p) for p in s) for s in fine_shapes]
+    # B=1 always serves (leftover singles); the roi_batch-sized program
+    # serves full same-bucket groups (cascade.py staging).
+    jobs = [
+        (tuple(int(p) for p in s), B)
+        for s in fine_shapes
+        for B in ([1] if roi_batch == 1 else [1, roi_batch])
+    ]
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        for shape, dt in zip(shapes, pool.map(one, shapes)):
-            out[f"roi_{'x'.join(map(str, shape))}_s"] = round(dt, 2)
+        for (shape, B), dt in zip(jobs, pool.map(one, jobs)):
+            out[f"roi_{'x'.join(map(str, shape))}_b{B}_s"] = round(dt, 2)
     out["total_s"] = round(time.monotonic() - t_all, 2)
     return out

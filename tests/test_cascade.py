@@ -196,7 +196,11 @@ def test_roi_program_statics_bounded_by_bucket(monkeypatch):
         preprocess=_identity_pp((1.0, 1.0, 1.0)),
         infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
     )
-    cfg = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+    # roi_batch=1: this test locks the B=1 program's static-key contract
+    # (the batched program keys on the same bucket statics; see
+    # test_roi_batch_matches_unbatched for its equality coverage).
+    cfg = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2,
+                        roi_batch=1)
     for seed in (0, 1, 2, 3):
         _, seg = make_phantom((64, 64, 48), (1.0, 1.0, 1.5), num_classes=3,
                               seed=seed)
@@ -320,3 +324,102 @@ def test_predict_cases_device_lanes_match_sequential():
     b1 = bundle_on_device(fine, devices[1])
     leaf = jax.tree_util.tree_leaves(b1.params)[0]
     assert devices[1] in leaf.devices()
+
+
+def test_roi_batch_matches_unbatched(monkeypatch):
+    """Two identical-bucket kidney ROIs dispatched as ONE B=2 batched
+    program (CascadeConfig.roi_batch, ROI_OVERLAP.json decision) produce
+    voxel-identical output to the B=1 path."""
+    import runet_tpu.infer.cascade as casc
+
+    # Two identical cubes -> two coarse boxes with the SAME bucketed shape.
+    img = np.zeros((64, 64, 48), np.float32)
+    img[8:24, 10:26, 8:24] = 1.0
+    img[40:56, 34:50, 20:36] = 1.0
+
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    base = dict(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+
+    p1 = predict_case(
+        coarse, fine, img, (1.0, 1.0, 1.5),
+        cascade=CascadeConfig(**base, roi_batch=1),
+    )
+
+    calls = []
+    orig = casc._roi_program_batch
+    monkeypatch.setattr(
+        casc, "_roi_program_batch",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    p2 = predict_case(
+        coarse, fine, img, (1.0, 1.0, 1.5),
+        cascade=CascadeConfig(**base, roi_batch=2),
+    )
+    assert calls, "same-bucket kidney ROIs should dispatch as one batch"
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.max() == 1 and p1.sum() > 0
+
+
+def test_roi_batch_mixed_buckets_flush_single(monkeypatch):
+    """ROIs whose buckets differ never co-batch: each flushes through the
+    B=1 program; output equals the unbatched path."""
+    import runet_tpu.infer.cascade as casc
+
+    img = np.zeros((72, 64, 48), np.float32)
+    img[4:20, 10:26, 8:24] = 1.0      # small cube
+    img[32:68, 24:60, 12:44] = 1.0    # much larger cube -> different bucket
+
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    base = dict(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+    p1 = predict_case(
+        coarse, fine, img, (1.0, 1.0, 1.5),
+        cascade=CascadeConfig(**base, roi_batch=1),
+    )
+    calls = []
+    orig = casc._roi_program_batch
+    monkeypatch.setattr(
+        casc, "_roi_program_batch",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    p2 = predict_case(
+        coarse, fine, img, (1.0, 1.0, 1.5),
+        cascade=CascadeConfig(**base, roi_batch=2),
+    )
+    assert not calls, "different buckets must not co-batch"
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_warmup_roi_buckets_covers_batch_program():
+    """warmup_roi_buckets warms BOTH the B=1 (leftover singles) and the
+    roi_batch-sized ROI programs per bucket when roi_batch > 1."""
+    from runet_tpu.infer.warmup import warmup_roi_buckets
+
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=_identity_pp((1.0, 1.0, 1.0)),
+        infer=InferConfig(patch_size=(16, 16, 16)),
+    )
+    stats = warmup_roi_buckets(
+        fine, [(16, 16, 16)], (1.0, 1.0, 1.0),
+        cascade=CascadeConfig(roi_batch=2),
+    )
+    assert "roi_16x16x16_b1_s" in stats, stats
+    assert "roi_16x16x16_b2_s" in stats, stats
