@@ -282,6 +282,42 @@ def cmd_predict(args):
                 emit(cid, vol, predict_volume(fine, vol.data, vol.spacing))
 
 
+def cmd_serve_http(args):
+    """HTTP inference endpoint (infer/http_serve.py): POST a NIfTI body to
+    /v1/predict and get the gzipped labelmap back on the same connection
+    (report in the X-Runet-Report header), or /v1/report for JSON only.
+    GET /healthz for liveness. Complements the watch-folder daemon for
+    PACS-gateway / orchestrator intake."""
+    from runet_tpu.infer.http_serve import InferenceService, make_server
+
+    fine, fine_cfg = _load_bundle_spec(args.fine, args.config)
+    coarse = None
+    if args.coarse:
+        coarse, _ = _load_bundle_spec(args.coarse)
+    if args.tta:
+        fine = _with_tta(fine)
+    service = InferenceService(fine, coarse, fine_cfg.cascade)
+    if args.warmup_shape:
+        from runet_tpu.infer.warmup import warmup_cases
+        from runet_tpu.io.nifti import Volume
+
+        img = np.zeros(tuple(args.warmup_shape), np.float32)
+        sp_mm = tuple(args.warmup_spacing)
+        if coarse is not None:
+            warmup_cases(coarse, fine, [(img, sp_mm)], fine_cfg.cascade)
+        else:
+            service.predict(Volume(data=img, spacing=sp_mm, affine=np.eye(4)))
+    srv = make_server(service, host=args.host, port=args.port)
+    host, port = srv.server_address[:2]
+    print(f"serving on http://{host}:{port} "
+          f"(cascade={coarse is not None}, classes={fine.num_classes})",
+          flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def cmd_serve(args):
     """Watch-folder serving daemon: new ``*.nii``/``*.nii.gz`` files
     appearing in --watch are segmented through the pipelined cascade (or
@@ -575,6 +611,20 @@ def cmd_export(args):
         else "best checkpoint"
     )
     print(f"exported {what} to {p}")
+    if args.stablehlo:
+        from runet_tpu.config import Config
+        from runet_tpu.utils.export import export_stablehlo, load_params_npz
+
+        params, cfg_json = load_params_npz(p)
+        cfg = Config.from_json(cfg_json)
+        patch = tuple(args.patch) if args.patch else tuple(cfg.infer.patch_size)
+        sp = export_stablehlo(
+            Path(args.stablehlo), cfg.model, params, patch, batch=args.batch
+        )
+        print(
+            f"exported StableHLO forward (batch={args.batch}, patch={patch}) "
+            f"to {sp} ({sp.stat().st_size} bytes)"
+        )
 
 
 def cmd_visualize(args):
@@ -748,6 +798,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.set_defaults(fn=cmd_serve)
 
+    sp = sub.add_parser(
+        "serve-http",
+        help="HTTP inference endpoint (POST NIfTI -> labelmap/report)",
+    )
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080, help="0 = ephemeral")
+    sp.add_argument("--fine", required=True)
+    sp.add_argument("--coarse", default=None)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--tta", action="store_true")
+    sp.add_argument("--warmup-shape", type=int, nargs=3, default=None,
+                    help="precompile with a dummy case of this shape before "
+                    "binding, e.g. 512 512 160")
+    sp.add_argument("--warmup-spacing", type=float, nargs=3,
+                    default=[0.78125, 0.78125, 3.0])
+    sp.set_defaults(fn=cmd_serve_http)
+
     sp = sub.add_parser("evaluate", help="predict + Dice vs ground truth")
     sp.add_argument("--data", required=True)
     sp.add_argument("--fine", required=True)
@@ -798,6 +865,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="export the element-wise mean of the best K retained "
         "checkpoints (SWA-style weight averaging) instead of the single best",
     )
+    sp.add_argument(
+        "--stablehlo", default=None, metavar="PATH",
+        help="also serialize the (pure-XLA) model forward as a portable "
+        "StableHLO artifact via jax.export — params baked in, loadable by "
+        "any StableHLO/PJRT consumer without Python",
+    )
+    sp.add_argument("--patch", type=int, nargs=3, default=None,
+                    help="StableHLO input patch size (default: infer preset)")
+    sp.add_argument("--batch", type=int, default=1,
+                    help="StableHLO input batch dimension")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("curves", help="plot a run's learning curves to PNG")

@@ -122,7 +122,15 @@ def _read_bytes(path: Path) -> bytes:
 def load_volume(path: str | Path) -> Volume:
     """Load a .nii / .nii.gz file into a Volume."""
     path = Path(path)
-    raw = _read_bytes(path)
+    return volume_from_bytes(_read_bytes(path))
+
+
+def volume_from_bytes(raw: bytes) -> Volume:
+    """Parse NIfTI-1 bytes (gzipped or plain — sniffed by magic) into a
+    Volume. The in-memory path for network serving (infer/http_serve.py),
+    where volumes arrive as request bodies, never touching disk."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
     hdr = _parse_header(raw)
 
     ndim = hdr["dim"][0]
@@ -183,6 +191,21 @@ def save_volume(
 ) -> None:
     """Write a 3D array as a single-file NIfTI-1 (.nii or .nii.gz)."""
     path = Path(path)
+    payload = volume_to_bytes(
+        data, spacing=spacing, affine=affine, gz=str(path).endswith(".gz")
+    )
+    path.write_bytes(payload)
+
+
+def volume_to_bytes(
+    data: np.ndarray,
+    spacing: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    affine: np.ndarray | None = None,
+    gz: bool = True,
+) -> bytes:
+    """Serialize a 3D array as single-file NIfTI-1 bytes (optionally
+    gzipped). The in-memory dual of ``volume_from_bytes`` — used by the
+    HTTP serving endpoint to stream labelmaps back as response bodies."""
     data = np.asarray(data)
     if data.ndim != 3:
         raise ValueError(f"expected 3D array, got {data.shape}")
@@ -217,8 +240,6 @@ def save_volume(
     hdr[344:348] = MAGIC_SINGLE
 
     payload = bytes(hdr) + b"\x00" * 4 + np.asarray(data, order="F").tobytes(order="F")
-    if str(path).endswith(".gz"):
-        with gzip.open(path, "wb", compresslevel=1) as f:
-            f.write(payload)
-    else:
-        path.write_bytes(payload)
+    if gz:
+        payload = gzip.compress(payload, compresslevel=1)
+    return payload

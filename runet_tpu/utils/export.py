@@ -89,3 +89,46 @@ def export_run(run_dir: str | Path, out_path: str | Path, average: int = 1) -> P
         raise FileNotFoundError(f"no checkpoints under {run_dir / 'ckpt'}")
     state = ckpt.restore(state, step=step)
     return save_params_npz(out_path, jax.device_get(state.params), cfg_json)
+
+
+def export_stablehlo(
+    out_path: str | Path,
+    model_cfg,
+    params,
+    patch_size: tuple[int, int, int],
+    batch: int = 1,
+) -> Path:
+    """Serialize the model forward as a portable StableHLO artifact
+    (``jax.export``), params baked in as module constants — one file any
+    PJRT/StableHLO consumer (IREE, TF serving bridges, a C++ PJRT loader)
+    can execute without Python, flax, or this repo.
+
+    Deliberately exports the PURE-XLA model variant: the fused Pallas
+    blocks lower to TPU-Mosaic custom calls, which are not portable
+    StableHLO (and jax.export refuses them without an unsafe opt-in). The
+    XLA path shares the same checkpoint param tree, so the export is
+    numerics-equivalent at kernel tolerance. Input: ``(batch, *patch_size,
+    in_channels)`` f32, HU-normalized as in preprocess; output: class
+    logits at the same grid.
+    """
+    import dataclasses
+
+    import jax
+    from jax import export as jexport
+
+    from runet_tpu.models.unet3d import UNet3D
+
+    cfg = dataclasses.replace(model_cfg, fused_blocks=False)
+    model = UNet3D(cfg)
+
+    def fwd(x):
+        return model.apply({"params": params}, x)
+
+    spec = jax.ShapeDtypeStruct(
+        (batch, *patch_size, model_cfg.in_channels), np.float32
+    )
+    exp = jexport.export(jax.jit(fwd))(spec)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_bytes(exp.serialize())
+    return out_path

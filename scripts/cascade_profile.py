@@ -1,0 +1,140 @@
+"""Per-phase attribution of cascade serving time (SURVEY.md §5.1).
+
+The pipelined serving path runs at ~0.58-0.72 s/volume on chip
+(BENCH_r03_insession.json) and is device-bound (workers 2/3/4 measured
+equal). To know where the next serving win is, this script attributes one
+sequential `predict_case` across its PhaseTimer phases:
+
+  coarse_preprocess   host striding + bucket-pad (pure host)
+  coarse_predict      strided upload + one fused coarse program dispatch
+  coarse_boxes        packed-mask fetch (forces coarse execution) + CC boxes
+  roi_dispatch        ROI staging + fine program dispatches (async)
+  roi_fetch_paste     packed-label fetches (forces ROI programs) + paste
+  postprocess_cc      native-grid connected components (host)
+
+Phases without a device fetch measure dispatch wall time; the fetch phases
+absorb queued device execution — so read (coarse_predict+coarse_boxes) as
+the coarse stage cost and (roi_dispatch+roi_fetch_paste) as the fine stage
+cost. Cycles the bench's three phantom geometries; reports per-phase median
+over N iterations per case plus the modal ROI-bucket population.
+
+Run on the TPU host (after `python bench.py` has populated the /tmp param
+caches — setup reuses them):  python scripts/cascade_profile.py
+Writes CASCADE_PROFILE.json at the repo root.
+
+CPU smoke mode (tiny shapes, no artifact):  python scripts/cascade_profile.py smoke
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SMOKE = len(sys.argv) > 1 and sys.argv[1] == "smoke"
+
+if not SMOKE:  # chip mode: fail fast if the tunnel is dead
+    from runet_tpu.utils.health import probe_backend
+
+    _ok, _detail = probe_backend(tries=2)
+    if not _ok:
+        sys.exit(f"TPU backend unreachable ({_detail}); not starting")
+else:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from runet_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import numpy as np  # noqa: E402
+
+from runet_tpu.infer.cascade import predict_case  # noqa: E402
+from runet_tpu.infer.warmup import warmup_cases  # noqa: E402
+from runet_tpu.utils.timing import PhaseTimer  # noqa: E402
+
+PHASES = (
+    "coarse_preprocess", "coarse_predict", "coarse_boxes",
+    "roi_dispatch", "roi_fetch_paste", "postprocess_cc",
+)
+
+
+def main():
+    import bench
+
+    if SMOKE:
+        bench.CASE_SHAPE = (96, 96, 48)
+        bench.TRAIN_STEPS = 2
+        bench.CASE_SEEDS = (0,)
+        # Never touch the chip bench's /tmp caches from smoke mode: a
+        # 2-step smoke retrain would overwrite the 240-step params cache.
+        bench._params_cache = lambda name: Path(
+            f"/tmp/runet_cascade_prof_smoke_params_{name}.npz"
+        )
+
+    data_root = Path(
+        "/tmp/runet_cascade_prof_smoke_data" if SMOKE
+        else "/tmp/runet_bench_train_data"
+    )
+    if not data_root.exists():
+        from runet_tpu.data.phantom import write_phantom_dataset
+
+        write_phantom_dataset(
+            data_root, num_cases=2, shape=(96, 96, 48) if SMOKE else (256, 256, 120),
+            spacing=bench.CASE_SPACING, num_classes=3,
+        )
+    cases = [bench.make_case(seed=s) for s in bench.CASE_SEEDS]
+    coarse, _ = bench.trained_bundle("coarse", data_root)
+    fine, fine_cfg = bench.trained_bundle("fine_kits", data_root)
+
+    warmup_cases(
+        coarse, fine, [(img, bench.CASE_SPACING) for img, _ in cases],
+        fine_cfg.cascade, workers=2,
+    )
+
+    iters = 1 if SMOKE else 4
+    per_case = []
+    for ci, (img, _seg) in enumerate(cases):
+        runs = []
+        for _ in range(iters):
+            t = PhaseTimer()
+            t0 = time.monotonic()
+            predict_case(coarse, fine, img, bench.CASE_SPACING,
+                         fine_cfg.cascade, timer=t)
+            total = time.monotonic() - t0
+            d = t.as_dict()
+            d["total"] = round(total, 4)
+            runs.append(d)
+        med = {
+            k: round(float(np.median([r.get(k, 0.0) for r in runs])) * 1000, 1)
+            for k in (*PHASES, "total")
+        }
+        med["unattributed_ms"] = round(
+            med["total"] - sum(med[p] for p in PHASES), 1
+        )
+        per_case.append({"case": ci, "iters": iters, "median_ms": med})
+        print(f"case {ci}: {med}", file=sys.stderr)
+
+    import jax
+
+    out = {
+        "device": str(jax.devices()[0]),
+        "case_shape": list(bench.CASE_SHAPE),
+        "protocol": (
+            "sequential predict_case with PhaseTimer; per-phase median over "
+            f"{iters} iters per geometry; fetchless phases are dispatch wall "
+            "time, fetch phases absorb queued device execution (see module "
+            "docstring)"
+        ),
+        "cases": per_case,
+    }
+    if not SMOKE:
+        Path("CASCADE_PROFILE.json").write_text(json.dumps(out, indent=1))
+        print("wrote CASCADE_PROFILE.json", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
