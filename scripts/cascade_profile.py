@@ -117,6 +117,57 @@ def main():
         per_case.append({"case": ci, "iters": iters, "median_ms": med})
         print(f"case {ci}: {med}", file=sys.stderr)
 
+    # ---- deep pass: piecewise ROI attribution (one iter per case) ----
+    # Wrap the ROI program entry points to SYNC each dispatch (kills the
+    # pipelining predict_case normally gets — this is a measurement mode)
+    # so device execution, fetch bytes, and host paste can be separated.
+    import runet_tpu.infer.cascade as casc
+    from runet_tpu.utils.timing import device_sync
+
+    deep = []
+    orig1, origb = casc._roi_program, casc._roi_program_batch
+
+    def wrap1(apply_fn, params, crop, padded, *a):
+        t0 = time.monotonic()
+        dev = orig1(apply_fn, params, crop, padded, *a)
+        device_sync(dev)
+        deep.append({"kind": "roi_b1", "padded": list(padded),
+                     "crop": list(crop.shape),
+                     "exec_ms": round((time.monotonic() - t0) * 1000, 1)})
+        return dev
+
+    def wrapb(apply_fn, params, crops, padded, *a):
+        t0 = time.monotonic()
+        dev = origb(apply_fn, params, crops, padded, *a)
+        device_sync(dev)
+        deep.append({"kind": f"roi_b{crops.shape[0]}", "padded": list(padded),
+                     "crop": list(crops.shape[1:]),
+                     "exec_ms": round((time.monotonic() - t0) * 1000, 1)})
+        return dev
+
+    deep_cases = []
+    try:
+        casc._roi_program, casc._roi_program_batch = wrap1, wrapb
+        for ci, (img, _seg) in enumerate(cases):
+            deep.clear()
+            t = PhaseTimer()
+            predict_case(coarse, fine, img, bench.CASE_SPACING,
+                         fine_cfg.cascade, timer=t)
+            d = t.as_dict()
+            # With every ROI exec synced inside roi_dispatch, the residual
+            # roi_fetch_paste phase is pure transfer + unpack + paste.
+            deep_cases.append({
+                "case": ci,
+                "roi_dispatches": list(deep),
+                "roi_exec_ms_total": round(sum(r["exec_ms"] for r in deep), 1),
+                "residual_fetch_paste_ms": round(d.get("roi_fetch_paste", 0.0) * 1000, 1),
+                "coarse_predict_ms": round(d.get("coarse_predict", 0.0) * 1000, 1),
+                "postprocess_cc_ms": round(d.get("postprocess_cc", 0.0) * 1000, 1),
+            })
+            print(f"deep case {ci}: {deep_cases[-1]}", file=sys.stderr)
+    finally:
+        casc._roi_program, casc._roi_program_batch = orig1, origb
+
     import jax
 
     out = {
@@ -129,6 +180,7 @@ def main():
             "docstring)"
         ),
         "cases": per_case,
+        "deep": deep_cases,
     }
     if not SMOKE:
         Path("CASCADE_PROFILE.json").write_text(json.dumps(out, indent=1))
