@@ -85,9 +85,14 @@ def _numerics_fingerprint(name: str) -> str:
     # knobs (ROI buckets, roi_batch, TTA...) route inference around a model
     # but cannot change what training produced, so they must not invalidate
     # the cache (adding CascadeConfig.roi_batch forced a pointless retrain).
+    sub = {k: dict(cfg_json.get(k) or {}) for k in ("model", "train", "preprocess")}
+    # transfer_quant routes INFERENCE uploads (uint8 vs f16 over the tunnel);
+    # training reads patches from the host loader and never sees it — it
+    # must not invalidate trained params (same rationale as cascade/infer).
+    sub["preprocess"].pop("transfer_quant", None)
     key = json.dumps(
         {
-            "cfg": {k: cfg_json.get(k) for k in ("model", "train", "preprocess")},
+            "cfg": sub,
             "steps": TRAIN_STEPS,
             "patch": TRAIN_PATCH,
             "rev": NUMERICS_REV,

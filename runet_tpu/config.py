@@ -75,6 +75,16 @@ class PreprocessConfig:
     hu_window: tuple[float, float] = DEFAULT_HU_WINDOW
     # (mean, std) applied after clipping; None => per-volume z-score.
     hu_stats: tuple[float, float] | None = DEFAULT_HU_STATS
+    # Quantize host->device image uploads to uint8 over hu_window (the
+    # device program dequantizes before resampling). Halves upload bytes vs
+    # the f16 transfer dtype — and uploads are the serving path's largest
+    # tunnel cost (ROI_PIECES.json: ~17 MB/case = 370-470 ms of the ~1.0 s
+    # sequential budget at 36 MB/s). Information cost: values are CLIPPED
+    # to hu_window by normalize anyway, so only the ~1.5 HU quantization
+    # step remains — ~0.02 of the z-score std, far below augmentation
+    # noise. OFF by default (oracle tests push label-valued images through
+    # the pipeline and must stay exact); ON in the shipping CT presets.
+    transfer_quant: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -247,7 +257,7 @@ def _preset_coarse() -> Config:
         # 4 mm iso: localization tolerates coarse voxels (boxes get a 16 mm
         # margin downstream), and the 512 mm FOV then fits the 128³ canonical
         # grid where the fused Pallas blocks apply (CascadeConfig).
-        preprocess=PreprocessConfig(spacing=(4.0, 4.0, 4.0)),
+        preprocess=PreprocessConfig(spacing=(4.0, 4.0, 4.0), transfer_quant=True),
         train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5,
                           batch_size=1, grad_accum=2, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128), overlap=0.5),
@@ -259,7 +269,9 @@ def _preset_fine_kits() -> Config:
     return Config(
         name="fine_kits",
         model=ModelConfig(num_classes=3),
-        preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
+        # transfer_quant: uint8 uploads over the HU window (see
+        # PreprocessConfig) — halves the dominant serving tunnel cost.
+        preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8), transfer_quant=True),
         # batch 1 + 2-step gradient accumulation: effective batch 2 within
         # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
         # val_full_every: keep-best selection keys on full sliding-window
@@ -282,7 +294,7 @@ def _preset_renal_anatomy() -> Config:
     return Config(
         name="renal_anatomy",
         model=ModelConfig(num_classes=5),
-        preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8)),
+        preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8), transfer_quant=True),
         # batch 1 + 2-step gradient accumulation: effective batch 2 within
         # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
         train=TrainConfig(patch_size=(128, 128, 128), batch_size=1,

@@ -56,17 +56,37 @@ class ModelBundle:
     infer: InferConfig
 
 
-def _to_transfer_dtype(image: np.ndarray) -> np.ndarray:
-    """One canonical f16 transfer dtype for every upload. Two reasons:
-    (a) halve host→device bytes — HU values are exact in f16 up to 2048 and
-    the HU clip window makes larger magnitudes irrelevant; tunnel measured
-    at ~36 MB/s, so a 512³-scale upload drops seconds; (b) ONE jit cache
-    class per program — int16 CT storage (the common NIfTI encoding) would
-    otherwise key a second compiled variant per program that a f16 warmup
-    never touched, paying a cold compile mid-serving."""
+def _to_transfer_dtype(image: np.ndarray, pp: PreprocessConfig | None = None) -> np.ndarray:
+    """One canonical transfer dtype for every upload. Two reasons:
+    (a) shrink host→device bytes — the tunnel measured at ~36 MB/s makes
+    uploads the serving path's largest cost (ROI_PIECES.json: ~17 MB/case
+    = 370-470 ms of a ~1.0 s sequential budget); (b) ONE jit cache class
+    per program — int16 CT storage (the common NIfTI encoding) would
+    otherwise key a second compiled variant per program that the warmup
+    never touched, paying a cold compile mid-serving.
+
+    Default: f16 (HU exact up to 2048; the clip window makes larger
+    magnitudes irrelevant). With ``pp.transfer_quant``: uint8 quantized
+    over ``pp.hu_window`` (~1.5 HU/step; normalize clips to that window
+    anyway) — half the bytes of f16. The device programs dequantize by
+    DTYPE (``_dequant``), so each bundle uses exactly one class."""
+    if pp is not None and pp.transfer_quant:
+        lo, hi = pp.hu_window
+        q = (image.astype(np.float32) - lo) * (255.0 / (hi - lo))
+        return np.clip(np.rint(q), 0.0, 255.0).astype(np.uint8)
     if image.dtype == np.float16:
         return image
     return image.astype(np.float16)
+
+
+def _dequant(x: jnp.ndarray, hu_window: tuple[float, float]) -> jnp.ndarray:
+    """Device-side inverse of the uint8 transfer quantization (no-op for
+    float uploads). Dequantizes to f32 — the resample matmuls upcast to f32
+    anyway (preprocess/resample.py), so this costs nothing extra."""
+    if x.dtype != jnp.uint8:
+        return x
+    lo, hi = hu_window
+    return x.astype(jnp.float32) * ((hi - lo) / 255.0) + lo
 
 
 def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfig):
@@ -76,9 +96,8 @@ def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfi
     scale = np.asarray(
         [d / s for s, d in zip(native_spacing, pp.spacing)], np.float32
     )
-    x = resample_dynamic(
-        _to_transfer_dtype(np.asarray(image)), out_shape, scale, method="linear"
-    )
+    up = jnp.asarray(_to_transfer_dtype(np.asarray(image), pp))
+    x = resample_dynamic(_dequant(up, pp.hu_window), out_shape, scale, method="linear")
     return normalize(x, pp.hu_window, pp.hu_stats)
 
 
@@ -168,7 +187,7 @@ def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_sta
     from runet_tpu.infer.packing import pack_bits
     from runet_tpu.infer.sliding_window import _single_pass
 
-    x = resample_dynamic(image, out_shape, scale, "linear")
+    x = resample_dynamic(_dequant(image, hu_window), out_shape, scale, "linear")
     x = normalize(x, hu_window, hu_stats)
     div32 = tuple(-(-s // 32) * 32 for s in x.shape)
     pads = [(0, p - s) for s, p in zip(x.shape, div32)]
@@ -207,7 +226,7 @@ def _roi_program(
     number of distinct kidney sizes OR native spacings."""
     from runet_tpu.infer.sliding_window import _single_pass
 
-    roi = resample_dynamic(crop, padded_shape, scale_nf, "linear")
+    roi = resample_dynamic(_dequant(crop, hu_window), padded_shape, scale_nf, "linear")
     roi = normalize(roi, hu_window, hu_stats)
     labels, _ = _single_pass(apply_fn, params, roi[..., None])
     labels = labels[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
@@ -250,7 +269,7 @@ def _roi_program_batch(
     bucket set (one extra class per bucket actually seen at B>1)."""
 
     def _prep(c):
-        roi = resample_dynamic(c, padded_shape, scale_nf, "linear")
+        roi = resample_dynamic(_dequant(c, hu_window), padded_shape, scale_nf, "linear")
         return normalize(roi, hu_window, hu_stats)
 
     roi = jax.vmap(_prep)(crops)
@@ -359,7 +378,7 @@ def predict_case(
             packed = _coarse_program(
                 coarse_apply,
                 coarse.params,
-                jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(strided))),
+                jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(strided), c_pp)),
                 c_run_shape,
                 np.asarray(c_scale, np.float32),  # traced, not a cache key
                 c_pp.hu_window,
@@ -421,13 +440,14 @@ def predict_case(
                 lo_, hi_, wb_, crop_, _p = entries[0]
                 dev = _roi_program(
                     fine_apply, fine.params,
-                    jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(crop_))),
+                    jnp.asarray(_to_transfer_dtype(
+                        np.ascontiguousarray(crop_), fine.preprocess)),
                     padded, padded, tuple(crop_.shape), *common,
                 )
                 roi_results.append((lo_, hi_, wb_, dev, None))
             else:
                 crops = np.stack([
-                    _to_transfer_dtype(np.ascontiguousarray(e[3]))
+                    _to_transfer_dtype(np.ascontiguousarray(e[3]), fine.preprocess)
                     for e in entries
                 ])
                 dev = _roi_program_batch(
@@ -524,7 +544,11 @@ def predict_case(
         else:
             with t.phase("roi_preprocess"):
                 roi = resample_dynamic(
-                    jnp.asarray(_to_transfer_dtype(np.ascontiguousarray(crop))),
+                    _dequant(
+                        jnp.asarray(_to_transfer_dtype(
+                            np.ascontiguousarray(crop), fine.preprocess)),
+                        fine.preprocess.hu_window,
+                    ),
                     padded_shape,
                     np.asarray(scale_nf, np.float32),
                     "linear",

@@ -423,3 +423,56 @@ def test_warmup_roi_buckets_covers_batch_program():
     )
     assert "roi_16x16x16_b1_s" in stats, stats
     assert "roi_16x16x16_b2_s" in stats, stats
+
+
+def test_transfer_quant_cascade_equality():
+    """uint8 transfer quantization (PreprocessConfig.transfer_quant): with
+    integer-valued oracle images inside the window, the quantize→dequant
+    round-trip error (< half a quantization step) cannot move the oracle's
+    rounding, so the cascade output is IDENTICAL to the f16 transfer path
+    (infer/cascade.py _to_transfer_dtype/_dequant)."""
+    import dataclasses
+
+    img, seg = _make_label_image()
+    cc = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+
+    def bundles(quant):
+        pp_c = dataclasses.replace(_identity_pp((2.0, 2.0, 2.0)), transfer_quant=quant)
+        pp_f = dataclasses.replace(_identity_pp((1.0, 1.0, 1.0)), transfer_quant=quant)
+        coarse = ModelBundle(
+            apply_fn=_binary_oracle(), params={}, num_classes=2,
+            preprocess=pp_c, infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+        )
+        fine = ModelBundle(
+            apply_fn=_class_oracle(3), params={}, num_classes=3,
+            preprocess=pp_f, infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+        )
+        return coarse, fine
+
+    c0, f0 = bundles(False)
+    c1, f1 = bundles(True)
+    a = predict_case(c0, f0, img, (1.0, 1.0, 1.5), cc)
+    b = predict_case(c1, f1, img, (1.0, 1.0, 1.5), cc)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_transfer_quant_roundtrip_error_bound():
+    """Quantize→dequant error is bounded by half a step over the window and
+    values clip to the window outside it (the same clip normalize applies)."""
+    from runet_tpu.infer.cascade import _dequant, _to_transfer_dtype
+    from runet_tpu.config import PreprocessConfig
+
+    pp = PreprocessConfig(hu_window=(-79.0, 304.0), transfer_quant=True)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-200, 400, (64, 64)).astype(np.float32)
+    q = _to_transfer_dtype(x, pp)
+    assert q.dtype == np.uint8
+    back = np.asarray(_dequant(jnp.asarray(q), pp.hu_window))
+    step = (304.0 + 79.0) / 255.0
+    clipped = np.clip(x, -79.0, 304.0)
+    assert np.abs(back - clipped).max() <= step / 2 + 1e-3
+    # f16 path untouched when the flag is off
+    pp_off = PreprocessConfig(hu_window=(-79.0, 304.0), transfer_quant=False)
+    f = _to_transfer_dtype(x, pp_off)
+    assert f.dtype == np.float16
+    assert np.asarray(_dequant(jnp.asarray(f), pp_off.hu_window)).dtype == np.float16
