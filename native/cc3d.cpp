@@ -7,6 +7,7 @@
 //
 // Row-major C-contiguous input: index(x, y, z) = (x*ny + y)*nz + z.
 
+#include <algorithm>
 #include <cstddef>
 #include <cstdint>
 #include <vector>
@@ -58,18 +59,16 @@ extern "C" void keep_largest_components_3d(uint8_t* seg, const int32_t* labels,
   for (int64_t i = 0; i < n; ++i) sizes[labels[i]]++;
   sizes[0] = 0;
 
-  // Component ids sorted by size descending (n_labels is small in practice).
+  // Component ids sorted by size descending. Speckly predictions can have
+  // thousands of components, so partial-sort the top keep_k instead of a
+  // quadratic full sort.
   std::vector<int32_t> order;
   order.reserve(n_labels);
   for (int32_t c = 1; c <= n_labels; ++c) order.push_back(c);
-  for (std::size_t a = 0; a + 1 < order.size(); ++a) {  // selection sort
-    std::size_t best = a;
-    for (std::size_t b = a + 1; b < order.size(); ++b)
-      if (sizes[order[b]] > sizes[order[best]]) best = b;
-    int32_t t = order[a];
-    order[a] = order[best];
-    order[best] = t;
-  }
+  const std::size_t k =
+      std::min<std::size_t>(order.size(), static_cast<std::size_t>(keep_k));
+  std::partial_sort(order.begin(), order.begin() + k, order.end(),
+                    [&sizes](int32_t a, int32_t b) { return sizes[a] > sizes[b]; });
 
   std::vector<uint8_t> keep(static_cast<std::size_t>(n_labels) + 1, 0);
   for (int32_t k = 0; k < keep_k && k < n_labels; ++k) {
@@ -125,4 +124,57 @@ extern "C" int32_t label_components_3d(const uint8_t* mask, int32_t* out,
     out[i] = out[i] < 0 ? 0 : dense[uf.find(out[i])];
   }
   return next_label;
+}
+
+// Zero `seg[i]` wherever its component is not marked in `keep` (a LUT of
+// n_labels+1 bytes indexed by label id; keep[0] is ignored — background is
+// never touched). Lets the caller rank components globally across several
+// independently-labeled crops and kill in one native pass per crop, instead
+// of a numpy isin (sort-based) per crop.
+extern "C" void zero_nonkept_3d(uint8_t* seg, const int32_t* labels, int64_t n,
+                                const uint8_t* keep) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t l = labels[i];
+    if (l > 0 && !keep[l]) seg[i] = 0;
+  }
+}
+
+// Per-component voxel counts and inclusive-exclusive bounding boxes in one
+// pass over a label volume (labels 1..n_labels from label_components_3d).
+// out_sizes: int64[n_labels]; out_boxes: int64[n_labels*6] as
+// (x0,y0,z0,x1,y1,z1) with x1/y1/z1 exclusive. Empty components get size 0
+// and a degenerate (0,0,0,0,0,0) box.
+extern "C" void component_stats_3d(const int32_t* labels, int64_t nx,
+                                   int64_t ny, int64_t nz, int32_t n_labels,
+                                   int64_t* out_sizes, int64_t* out_boxes) {
+  if (n_labels <= 0) return;
+  for (int32_t c = 0; c < n_labels; ++c) {
+    out_sizes[c] = 0;
+    int64_t* b = out_boxes + static_cast<int64_t>(c) * 6;
+    b[0] = nx; b[1] = ny; b[2] = nz;  // running mins
+    b[3] = 0;  b[4] = 0;  b[5] = 0;   // running maxes (exclusive)
+  }
+  int64_t i = 0;
+  for (int64_t x = 0; x < nx; ++x) {
+    for (int64_t y = 0; y < ny; ++y) {
+      for (int64_t z = 0; z < nz; ++z, ++i) {
+        const int32_t l = labels[i];
+        if (l <= 0) continue;
+        out_sizes[l - 1]++;
+        int64_t* b = out_boxes + static_cast<int64_t>(l - 1) * 6;
+        if (x < b[0]) b[0] = x;
+        if (y < b[1]) b[1] = y;
+        if (z < b[2]) b[2] = z;
+        if (x + 1 > b[3]) b[3] = x + 1;
+        if (y + 1 > b[4]) b[4] = y + 1;
+        if (z + 1 > b[5]) b[5] = z + 1;
+      }
+    }
+  }
+  for (int32_t c = 0; c < n_labels; ++c) {
+    if (out_sizes[c] == 0) {
+      int64_t* b = out_boxes + static_cast<int64_t>(c) * 6;
+      b[0] = b[1] = b[2] = 0;
+    }
+  }
 }

@@ -11,7 +11,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from runet_tpu.utils.native import native_keep_largest, native_label_components
+from runet_tpu.utils.native import (
+    native_component_stats,
+    native_keep_largest,
+    native_label_components,
+    native_zero_nonkept,
+)
 
 
 def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
@@ -99,26 +104,34 @@ def keep_largest_components_in_boxes(
     ranked globally across boxes; keep the top ``max_components``.
     """
     boxes = _merge_overlapping_boxes(boxes)
-    crops = []
-    comps = []  # (size, box_idx, comp_id)
-    for bi, (lo, hi) in enumerate(boxes):
-        crop = np.ascontiguousarray(seg[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]])
+    crops = []  # (crop, labels, n)
+    size_chunks = []  # per-box component sizes, concatenated for global rank
+    for lo, hi in boxes:
+        # Explicit copy: a whole-volume box would otherwise alias `seg` and
+        # the in-place kill below would mutate the caller's array.
+        crop = seg[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].copy()
         labels, n = label_components(crop > 0)
-        sizes = component_sizes(labels, n)
         crops.append((crop, labels, n))
-        for c in range(n):
-            comps.append((int(sizes[c]), bi, c + 1))
-    comps.sort(reverse=True)
-    keep = {(bi, cid) for sz, bi, cid in comps[:max_components] if sz > min_voxels}
+        size_chunks.append(component_sizes(labels, n).astype(np.int64))
+    # Rank component sizes globally across boxes (vectorized: speckly
+    # predictions can carry thousands of components per box).
+    all_sizes = (
+        np.concatenate(size_chunks) if size_chunks else np.zeros(0, np.int64)
+    )
+    k = min(max_components, all_sizes.size)
+    top = np.argpartition(all_sizes, -k)[-k:] if k else np.zeros(0, np.intp)
+    top = top[all_sizes[top] > min_voxels]
+    offsets = np.cumsum([0] + [s.size for s in size_chunks])
     out = seg.copy()
     for bi, (lo, hi) in enumerate(boxes):
         crop, labels, n = crops[bi]
         if n == 0:
             continue
-        keep_ids = [cid for (b, cid) in keep if b == bi]
-        kill = ~np.isin(labels, keep_ids) & (labels > 0)
-        crop = crop.copy()
-        crop[kill] = 0
+        keep_lut = np.zeros(n + 1, np.uint8)
+        local = top[(top >= offsets[bi]) & (top < offsets[bi + 1])] - offsets[bi]
+        keep_lut[local + 1] = 1
+        if crop.dtype != np.uint8 or not native_zero_nonkept(crop, labels, keep_lut):
+            crop[~keep_lut.view(np.bool_)[labels]] = 0  # LUT gather, not isin
         out[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]] = crop
     return out
 
@@ -133,12 +146,20 @@ def component_bounding_boxes(
     labels, n = label_components(mask)
     if n == 0:
         return []
-    sizes = component_sizes(labels, n)
+    stats = native_component_stats(labels, n)
+    if stats is not None:
+        sizes, all_boxes = stats
+    else:
+        sizes = component_sizes(labels, n)
+        all_boxes = None
     order = np.argsort(sizes)[::-1]
     boxes = []
     for i in order[:max_components]:
         if sizes[i] < min_voxels:
             continue
-        coords = np.argwhere(labels == i + 1)
-        boxes.append((coords.min(axis=0), coords.max(axis=0) + 1))
+        if all_boxes is not None:
+            boxes.append((all_boxes[i, :3].copy(), all_boxes[i, 3:].copy()))
+        else:
+            coords = np.argwhere(labels == i + 1)
+            boxes.append((coords.min(axis=0), coords.max(axis=0) + 1))
     return boxes

@@ -22,6 +22,7 @@ _LIB = _REPO_ROOT / "native" / "build" / "libcc3d.so"
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _build_failed = False
+_has_ext = False  # zero_nonkept_3d / component_stats_3d present in the .so
 
 
 def _load() -> ctypes.CDLL | None:
@@ -75,6 +76,30 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int32,
             ctypes.c_int64,
         ]
+        # Older prebuilt .so deployments may predate these symbols; probe and
+        # let callers fall back to numpy for just the extended entry points.
+        global _has_ext
+        try:
+            lib.zero_nonkept_3d.restype = None
+            lib.zero_nonkept_3d.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.component_stats_3d.restype = None
+            lib.component_stats_3d.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            _has_ext = True
+        except AttributeError:
+            _has_ext = False
         _lib = lib
         return _lib
 
@@ -120,3 +145,44 @@ def native_label_components(mask: np.ndarray) -> tuple[np.ndarray, int] | None:
     if n < 0:
         return None
     return out, int(n)
+
+
+def native_zero_nonkept(seg: np.ndarray, labels: np.ndarray, keep_lut: np.ndarray) -> bool:
+    """In-place zero of voxels whose component id is unmarked in ``keep_lut``
+    (uint8, length n_labels+1, index 0 ignored). False if unavailable."""
+    lib = _load()
+    if lib is None or not _has_ext:
+        return False
+    assert seg.dtype == np.uint8 and seg.flags.c_contiguous
+    assert labels.dtype == np.int32 and labels.flags.c_contiguous
+    assert keep_lut.dtype == np.uint8 and keep_lut.flags.c_contiguous
+    lib.zero_nonkept_3d(
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seg.size,
+        keep_lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True
+
+
+def native_component_stats(
+    labels: np.ndarray, n_labels: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """One-pass per-component (sizes int64[n], boxes int64[n,6] as
+    x0,y0,z0,x1,y1,z1 exclusive); None if unavailable."""
+    lib = _load()
+    if lib is None or not _has_ext or n_labels <= 0:
+        return None
+    assert labels.dtype == np.int32 and labels.flags.c_contiguous
+    sizes = np.empty(n_labels, np.int64)
+    boxes = np.empty((n_labels, 6), np.int64)
+    lib.component_stats_3d(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        labels.shape[0],
+        labels.shape[1],
+        labels.shape[2],
+        n_labels,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return sizes, boxes

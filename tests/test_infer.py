@@ -232,3 +232,54 @@ def test_merge_boxes_face_adjacent():
     assert len(merged) == 1
     np.testing.assert_array_equal(merged[0][0], [0, 0, 0])
     np.testing.assert_array_equal(merged[0][1], [20, 10, 10])
+
+
+def test_keep_in_boxes_fuzz_matches_global_oracle():
+    """The vectorized/native box-scoped path must equal global
+    keep_largest_components when the boxes jointly cover all foreground
+    (randomized speckle: thousands of components exercises the LUT kill and
+    the argpartition global ranking)."""
+    from runet_tpu.infer.postprocess import keep_largest_components_in_boxes
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        seg = np.zeros((40, 36, 32), np.uint8)
+        speck = rng.uniform(size=(18, 16, 14)) < 0.35
+        seg[2:20, 2:18, 2:16][speck] = 1
+        speck2 = rng.uniform(size=(16, 14, 12)) < 0.35
+        seg[22:38, 20:34, 18:30][speck2] = 2
+        boxes = [
+            (np.array([0, 0, 0]), np.array([21, 19, 17])),
+            (np.array([21, 19, 17]), np.array([40, 36, 32])),
+        ]
+        for k in (1, 2, 5):
+            got = keep_largest_components_in_boxes(seg, boxes, max_components=k)
+            want = keep_largest_components(seg, max_components=k)
+            np.testing.assert_array_equal(got, want)
+        # input untouched (whole-volume box aliasing guard)
+        whole = [(np.array([0, 0, 0]), np.array(seg.shape))]
+        before = seg.copy()
+        _ = keep_largest_components_in_boxes(seg, whole, max_components=1)
+        np.testing.assert_array_equal(seg, before)
+
+
+def test_component_bounding_boxes_native_matches_argwhere():
+    """native component_stats_3d bboxes == the argwhere fallback."""
+    from runet_tpu.infer.postprocess import label_components
+    from runet_tpu.utils.native import native_component_stats
+
+    rng = np.random.default_rng(7)
+    m = (rng.uniform(size=(24, 20, 16)) < 0.3).astype(np.uint8)
+    labels, n = label_components(m)
+    stats = native_component_stats(labels, n)
+    if stats is None:
+        import pytest
+
+        pytest.skip("native extension unavailable")
+    sizes, boxes = stats
+    counts = np.bincount(labels.ravel(), minlength=n + 1)[1:]
+    np.testing.assert_array_equal(sizes, counts)
+    for c in range(n):
+        coords = np.argwhere(labels == c + 1)
+        np.testing.assert_array_equal(boxes[c, :3], coords.min(axis=0))
+        np.testing.assert_array_equal(boxes[c, 3:], coords.max(axis=0) + 1)
