@@ -112,7 +112,9 @@ def keep_largest_components_in_boxes(
         crop = seg[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].copy()
         labels, n = label_components(crop > 0)
         crops.append((crop, labels, n))
-        size_chunks.append(component_sizes(labels, n).astype(np.int64))
+        stats = native_component_stats(labels, n)
+        sizes = stats[0] if stats is not None else component_sizes(labels, n)
+        size_chunks.append(sizes.astype(np.int64))
     # Rank component sizes globally across boxes (vectorized: speckly
     # predictions can carry thousands of components per box).
     all_sizes = (
