@@ -83,30 +83,57 @@ extern "C" int32_t label_components_3d(const uint8_t* mask, int32_t* out,
                                        int64_t nx, int64_t ny, int64_t nz) {
   const int64_t n = nx * ny * nz;
   if (n <= 0) return 0;
+
+  // Run-based two-pass CCL: foreground z-runs per (x,y) line, each run one
+  // union-find node, united with interval-overlapping runs in the -y and -x
+  // neighbor lines (6-connectivity => plain interval intersection). Dense
+  // anatomy (few long runs) does orders of magnitude fewer UF operations
+  // than the per-voxel formulation; the output pass is memset + run fills.
+  struct Run {
+    int32_t z0, z1, label;  // [z0, z1), provisional UF label
+  };
+  const int64_t n_lines = nx * ny;
+  std::vector<Run> runs;
+  runs.reserve(1024);
+  // Per-line [start, end) offsets into `runs`.
+  std::vector<int64_t> line_off(static_cast<std::size_t>(n_lines) + 1, 0);
   UnionFind uf;
   uf.parent.reserve(1024);
 
-  // First pass: provisional labels, union with -x/-y/-z neighbors.
   for (int64_t x = 0; x < nx; ++x) {
     for (int64_t y = 0; y < ny; ++y) {
-      const int64_t base = (x * ny + y) * nz;
-      for (int64_t z = 0; z < nz; ++z) {
-        const int64_t i = base + z;
-        if (!mask[i]) {
-          out[i] = -1;
+      const int64_t line = x * ny + y;
+      const uint8_t* row = mask + line * nz;
+      const std::size_t first = runs.size();
+      int64_t z = 0;
+      while (z < nz) {
+        if (!row[z]) {
+          ++z;
           continue;
         }
-        int32_t label = -1;
-        if (z > 0 && out[i - 1] >= 0) label = out[i - 1];
-        if (y > 0 && out[i - nz] >= 0) {
-          if (label < 0) label = out[i - nz];
-          else uf.unite(label, out[i - nz]);
+        const int64_t z0 = z;
+        while (z < nz && row[z]) ++z;
+        runs.push_back({static_cast<int32_t>(z0), static_cast<int32_t>(z),
+                        uf.make()});
+      }
+      line_off[line + 1] = static_cast<int64_t>(runs.size());
+
+      // Unite with overlapping runs of the two already-visited neighbor
+      // lines (two-pointer sweep; both run lists are z-sorted).
+      const int64_t nbrs[2] = {y > 0 ? line - 1 : -1, x > 0 ? line - ny : -1};
+      for (int64_t nbr : nbrs) {
+        if (nbr < 0) continue;
+        std::size_t a = first, b = static_cast<std::size_t>(line_off[nbr]);
+        const std::size_t a_end = runs.size();
+        const std::size_t b_end = static_cast<std::size_t>(line_off[nbr + 1]);
+        while (a < a_end && b < b_end) {
+          const Run& ra = runs[a];
+          const Run& rb = runs[b];
+          if (ra.z0 < rb.z1 && rb.z0 < ra.z1) uf.unite(ra.label, rb.label);
+          // Advance whichever interval ends first.
+          if (ra.z1 < rb.z1) ++a;
+          else ++b;
         }
-        if (x > 0 && out[i - ny * nz] >= 0) {
-          if (label < 0) label = out[i - ny * nz];
-          else uf.unite(label, out[i - ny * nz]);
-        }
-        out[i] = label >= 0 ? label : uf.make();
       }
     }
   }
@@ -120,8 +147,15 @@ extern "C" int32_t label_components_3d(const uint8_t* mask, int32_t* out,
     }
   }
 
-  for (int64_t i = 0; i < n; ++i) {
-    out[i] = out[i] < 0 ? 0 : dense[uf.find(out[i])];
+  // Output pass: zero background, fill runs with their dense root label.
+  std::fill(out, out + n, 0);
+  for (int64_t line = 0; line < n_lines; ++line) {
+    int32_t* orow = out + line * nz;
+    for (int64_t r = line_off[line]; r < line_off[line + 1]; ++r) {
+      const Run& run = runs[static_cast<std::size_t>(r)];
+      const int32_t lab = dense[uf.find(run.label)];
+      std::fill(orow + run.z0, orow + run.z1, lab);
+    }
   }
   return next_label;
 }
