@@ -601,6 +601,13 @@ def predict_case(
             if bidx is not None:
                 fetched = fetched[bidx]
             if fine.num_classes <= 16:
+                # Fused native unpack+paste: one read of the packed bytes,
+                # nonzero nibbles overwrite (np.where semantics). Falls back
+                # to the numpy chain when the native tier is unavailable.
+                from runet_tpu.utils.native import native_paste_nibbles
+
+                if native_paste_nibbles(native_canvas, fetched, lo, hi - lo):
+                    continue
                 fetched = unpack_nibbles(fetched, want_buf[2])
             crop_labels = fetched[
                 : hi[0] - lo[0], : hi[1] - lo[1], : hi[2] - lo[2]
@@ -613,7 +620,10 @@ def predict_case(
     if postprocess and native_boxes:
         with t.phase("postprocess_cc"):
             native_canvas = keep_largest_components_in_boxes(
-                native_canvas, native_boxes, max_components=cascade.max_components
+                native_canvas,
+                native_boxes,
+                max_components=cascade.max_components,
+                inplace=True,  # canvas is function-local
             )
     return native_canvas
 

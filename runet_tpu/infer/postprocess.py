@@ -14,6 +14,7 @@ import numpy as np
 from runet_tpu.utils.native import (
     native_component_stats,
     native_keep_largest,
+    native_keep_largest_in_boxes,
     native_label_components,
     native_zero_nonkept,
 )
@@ -44,6 +45,13 @@ def keep_largest_components(
     """Keep the ``max_components`` largest CCs of the foreground union and
     zero out everything else (KiTS: ≤2 kidney+tumor components)."""
     if foreground_classes is None:
+        # Nonzero == foreground: take the fused native path (one read pass
+        # + killed-run writes; no int32 label volume, no bool/uint8 temps).
+        out = np.ascontiguousarray(seg.copy())
+        if out.dtype == np.uint8:
+            box = np.asarray([[0, 0, 0, *out.shape]], np.int64)
+            if native_keep_largest_in_boxes(out, box, max_components, min_voxels):
+                return out
         fg = seg > 0
     else:
         fg = np.isin(seg, foreground_classes)
@@ -94,22 +102,36 @@ def keep_largest_components_in_boxes(
     boxes: list[tuple[np.ndarray, np.ndarray]],
     max_components: int = 2,
     min_voxels: int = 0,
+    inplace: bool = False,
 ) -> np.ndarray:
     """Box-scoped variant of keep_largest_components for cascade outputs.
 
     Cascade predictions are zero outside the pasted ROI boxes, so labeling
     the whole native volume is wasted single-core host time (~3 s at KiTS
     scale). Overlapping boxes are union-merged first (so each voxel is
-    labeled exactly once), then each box crop is labeled and component sizes
-    ranked globally across boxes; keep the top ``max_components``.
+    labeled exactly once), then component sizes are ranked globally across
+    boxes and only the top ``max_components`` survive.
+
+    Fast path: one fused native call (``keep_largest_in_boxes_3d``) that
+    builds z-runs per box directly on the canvas — one read pass over box
+    voxels plus writes to killed runs only. The numpy/int32-label chain
+    below is the fallback. ``inplace=True`` skips the defensive full-canvas
+    copy (the cascade's canvas is function-local).
     """
     boxes = _merge_overlapping_boxes(boxes)
+    out = seg if inplace else seg.copy()
+    if out.dtype == np.uint8 and out.flags.c_contiguous and boxes:
+        arr = np.asarray(
+            [np.concatenate([lo, hi]) for lo, hi in boxes], np.int64
+        )
+        if native_keep_largest_in_boxes(out, arr, max_components, min_voxels):
+            return out
     crops = []  # (crop, labels, n)
     size_chunks = []  # per-box component sizes, concatenated for global rank
     for lo, hi in boxes:
-        # Explicit copy: a whole-volume box would otherwise alias `seg` and
-        # the in-place kill below would mutate the caller's array.
-        crop = seg[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].copy()
+        # Explicit copy: a whole-volume box would otherwise alias `out` and
+        # the in-place kill below would corrupt the paste source.
+        crop = out[lo[0] : hi[0], lo[1] : hi[1], lo[2] : hi[2]].copy()
         labels, n = label_components(crop > 0)
         crops.append((crop, labels, n))
         stats = native_component_stats(labels, n)
@@ -124,7 +146,6 @@ def keep_largest_components_in_boxes(
     top = np.argpartition(all_sizes, -k)[-k:] if k else np.zeros(0, np.intp)
     top = top[all_sizes[top] > min_voxels]
     offsets = np.cumsum([0] + [s.size for s in size_chunks])
-    out = seg.copy()
     for bi, (lo, hi) in enumerate(boxes):
         crop, labels, n = crops[bi]
         if n == 0:

@@ -23,6 +23,7 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _build_failed = False
 _has_ext = False  # zero_nonkept_3d / component_stats_3d present in the .so
+_has_boxes = False  # keep_largest_in_boxes_3d present in the .so
 
 
 def _load() -> ctypes.CDLL | None:
@@ -100,6 +101,33 @@ def _load() -> ctypes.CDLL | None:
             _has_ext = True
         except AttributeError:
             _has_ext = False
+        # Newer still than the _has_ext set — probe independently so an old
+        # prebuilt .so degrades per-symbol, not wholesale.
+        global _has_boxes
+        try:
+            lib.keep_largest_in_boxes_3d.restype = ctypes.c_int64
+            lib.keep_largest_in_boxes_3d.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int64,
+            ]
+            lib.paste_nibbles_3d.restype = None
+            lib.paste_nibbles_3d.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ] + [ctypes.c_int64] * 6
+            _has_boxes = True
+        except AttributeError:
+            _has_boxes = False
         _lib = lib
         return _lib
 
@@ -161,6 +189,73 @@ def native_zero_nonkept(seg: np.ndarray, labels: np.ndarray, keep_lut: np.ndarra
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         seg.size,
         keep_lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True
+
+
+def native_keep_largest_in_boxes(
+    seg: np.ndarray,
+    boxes: np.ndarray,
+    keep_k: int,
+    min_voxels: int = 0,
+) -> bool:
+    """Fused in-place box-scoped keep-largest on a uint8 canvas: run-based CC
+    per (disjoint) box, global size ranking across boxes, kill non-kept runs.
+    ``boxes``: int64 (B, 6) rows of (x0, y0, z0, x1, y1, z1) exclusive,
+    pre-clamped to the canvas. Returns False if the native tier is
+    unavailable (caller falls back to the numpy chain)."""
+    lib = _load()
+    if lib is None or not _has_boxes:
+        return False
+    assert seg.dtype == np.uint8 and seg.flags.c_contiguous and seg.ndim == 3
+    boxes = np.ascontiguousarray(boxes, np.int64)
+    assert boxes.ndim == 2 and boxes.shape[1] == 6
+    lib.keep_largest_in_boxes_3d(
+        seg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seg.shape[0],
+        seg.shape[1],
+        seg.shape[2],
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        boxes.shape[0],
+        keep_k,
+        min_voxels,
+    )
+    return True
+
+
+def native_paste_nibbles(
+    canvas: np.ndarray,
+    packed: np.ndarray,
+    lo: np.ndarray,
+    extent: np.ndarray,
+) -> bool:
+    """Fused in-place nibble-unpack + nonzero paste: the (extent) prefix of
+    the nibble-packed crop lands at ``canvas[lo : lo+extent]``; nonzero
+    nibbles overwrite, zeros keep the destination. False if unavailable."""
+    lib = _load()
+    if lib is None or not _has_boxes:
+        return False
+    assert canvas.dtype == np.uint8 and canvas.flags.c_contiguous
+    # jax->numpy fetches can come back with non-C strides; normalizing the
+    # small packed crop is cheap (no-op when already contiguous).
+    packed = np.ascontiguousarray(packed, np.uint8)
+    assert packed.ndim == 3 and canvas.ndim == 3
+    ex, ey, ez = (int(e) for e in extent)
+    assert ex <= packed.shape[0] and ey <= packed.shape[1]
+    assert -(-ez // 2) <= packed.shape[2]
+    lib.paste_nibbles_3d(
+        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        canvas.shape[1],
+        canvas.shape[2],
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.shape[1],
+        packed.shape[2],
+        int(lo[0]),
+        int(lo[1]),
+        int(lo[2]),
+        ex,
+        ey,
+        ez,
     )
     return True
 

@@ -263,6 +263,55 @@ def test_keep_in_boxes_fuzz_matches_global_oracle():
         np.testing.assert_array_equal(seg, before)
 
 
+def test_keep_in_boxes_fused_native_matches_fallback(monkeypatch):
+    """The fused keep_largest_in_boxes_3d path (runs built in place on the
+    canvas, global rank, killed-run writes) must match the numpy/int32-label
+    fallback chain bit-for-bit on multi-class speckle with overlapping boxes;
+    inplace=True must mutate the input to the same result."""
+    import runet_tpu.utils.native as nat
+    from runet_tpu.infer.postprocess import keep_largest_components_in_boxes
+
+    if not nat.native_keep_largest_in_boxes(
+        np.zeros((1, 1, 1), np.uint8), np.zeros((0, 6), np.int64), 1
+    ):
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        shape = tuple(int(s) for s in rng.integers(18, 48, 3))
+        seg = (rng.random(shape) < 0.2).astype(np.uint8) * rng.integers(
+            1, 4, shape
+        ).astype(np.uint8)
+        boxes = []
+        for _ in range(int(rng.integers(1, 4))):
+            lo = rng.integers(0, np.asarray(shape) - 4)
+            hi = np.minimum(lo + rng.integers(4, 24, 3), shape)
+            boxes.append((lo, hi))
+        k = int(rng.integers(1, 4))
+        got = keep_largest_components_in_boxes(
+            seg, [(l.copy(), h.copy()) for l, h in boxes], max_components=k
+        )
+        inp = seg.copy()
+        got_ip = keep_largest_components_in_boxes(
+            inp,
+            [(l.copy(), h.copy()) for l, h in boxes],
+            max_components=k,
+            inplace=True,
+        )
+        assert got_ip is inp
+        monkeypatch.setattr(nat, "_has_boxes", False)
+        want = keep_largest_components_in_boxes(
+            seg, [(l.copy(), h.copy()) for l, h in boxes], max_components=k
+        )
+        monkeypatch.undo()
+        # Size ties may be broken differently; accept either only when the
+        # kept-voxel count matches exactly (a tie swap), else require equal.
+        if not np.array_equal(got, want):
+            assert (got > 0).sum() == (want > 0).sum(), "non-tie mismatch"
+        np.testing.assert_array_equal(got_ip, got)
+
+
 def test_component_bounding_boxes_native_matches_argwhere():
     """native component_stats_3d bboxes == the argwhere fallback."""
     from runet_tpu.infer.postprocess import label_components

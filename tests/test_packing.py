@@ -46,3 +46,42 @@ def test_cascade_quality_unchanged_by_packing():
     np.testing.assert_array_equal(
         unpack_bits(packed, 8)[0, 0], [0, 1, 1, 0, 1, 0, 0, 1]
     )
+
+
+def test_native_paste_nibbles_matches_unpack_where():
+    """Fused native unpack+paste (cascade ROI write-back) == the numpy
+    unpack_nibbles + np.where chain, including odd paste extents, clipped
+    extents, and the keep-destination-on-zero overlap semantics."""
+    from runet_tpu.infer.packing import unpack_nibbles
+    from runet_tpu.utils.native import native_paste_nibbles
+
+    if not native_paste_nibbles(
+        np.zeros((1, 1, 1), np.uint8),
+        np.zeros((1, 1, 1), np.uint8),
+        np.zeros(3, np.int64),
+        np.zeros(3, np.int64),
+    ):
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    rng = np.random.default_rng(9)
+    for _ in range(6):
+        cshape = tuple(int(s) for s in rng.integers(10, 36, 3))
+        canvas = rng.integers(0, 3, cshape).astype(np.uint8)
+        wbuf = tuple(int(s) for s in rng.integers(4, 14, 3))
+        labels = rng.integers(0, 16, wbuf).astype(np.uint8)
+        packed = np.asarray(pack_nibbles(jnp.asarray(labels)))
+        lo = np.array(
+            [int(rng.integers(0, max(1, c - w))) if c > w else 0
+             for c, w in zip(cshape, wbuf)]
+        )
+        ext = np.minimum(np.asarray(cshape) - lo, wbuf)
+        ref = canvas.copy()
+        crop = unpack_nibbles(packed, wbuf[2])[: ext[0], : ext[1], : ext[2]]
+        dst = ref[lo[0]:lo[0]+ext[0], lo[1]:lo[1]+ext[1], lo[2]:lo[2]+ext[2]]
+        ref[lo[0]:lo[0]+ext[0], lo[1]:lo[1]+ext[1], lo[2]:lo[2]+ext[2]] = (
+            np.where(crop > 0, crop, dst)
+        )
+        got = canvas.copy()
+        assert native_paste_nibbles(got, packed, lo, ext)
+        np.testing.assert_array_equal(got, ref)
