@@ -322,6 +322,43 @@ extern "C" void paste_nibbles_3d(uint8_t* canvas, int64_t ny, int64_t nz,
   }
 }
 
+// 2-bit variant of paste_nibbles_3d: `packed` holds FOUR z voxels per byte,
+// LSB-first (infer/packing.py pack_crumbs) — the lossless fetch encoding for
+// label alphabets K <= 4 (KiTS19 kidney/tumor = 3 classes). Same np.where
+// paste semantics: nonzero crumbs overwrite, zero crumbs keep the canvas.
+extern "C" void paste_crumbs_3d(uint8_t* canvas, int64_t ny, int64_t nz,
+                                const uint8_t* packed, int64_t sy,
+                                int64_t szp, int64_t lo0, int64_t lo1,
+                                int64_t lo2, int64_t ex, int64_t ey,
+                                int64_t ez) {
+  const int64_t quads = ez / 4;
+  for (int64_t x = 0; x < ex; ++x) {
+    for (int64_t y = 0; y < ey; ++y) {
+      uint8_t* row = canvas + ((lo0 + x) * ny + (lo1 + y)) * nz + lo2;
+      const uint8_t* prow = packed + (x * sy + y) * szp;
+      for (int64_t i = 0; i < quads; ++i) {
+        const uint8_t b = prow[i];
+        const uint8_t c0 = b & 0x03;
+        const uint8_t c1 = (b >> 2) & 0x03;
+        const uint8_t c2 = (b >> 4) & 0x03;
+        const uint8_t c3 = b >> 6;
+        if (c0) row[4 * i] = c0;
+        if (c1) row[4 * i + 1] = c1;
+        if (c2) row[4 * i + 2] = c2;
+        if (c3) row[4 * i + 3] = c3;
+      }
+      const int64_t rem = ez - quads * 4;
+      if (rem) {
+        const uint8_t b = prow[quads];
+        for (int64_t j = 0; j < rem; ++j) {
+          const uint8_t c = (b >> (2 * j)) & 0x03;
+          if (c) row[4 * quads + j] = c;
+        }
+      }
+    }
+  }
+}
+
 // Per-component voxel counts and inclusive-exclusive bounding boxes in one
 // pass over a label volume (labels 1..n_labels from label_components_3d).
 // out_sizes: int64[n_labels]; out_boxes: int64[n_labels*6] as

@@ -122,22 +122,58 @@ def _predict_stage(bundle: ModelBundle, volume, return_probs: bool = False):
     )
 
 
+def _pack_labels(native: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Widest lossless last-axis packing for the label fetch (packing.py
+    ``pack_width``): 2-bit lanes for K ≤ 4 (KiTS19's 3 classes — quarter
+    the bytes), nibbles for K ≤ 16 (renal_anatomy's 5), raw above that."""
+    from runet_tpu.infer.packing import pack_crumbs, pack_nibbles, pack_width
+
+    w = pack_width(num_classes)
+    if w == 2:
+        return pack_crumbs(native)
+    if w == 4:
+        return pack_nibbles(native)
+    return native
+
+
+def _unpack_labels(packed: np.ndarray, num_classes: int, n: int) -> np.ndarray:
+    """Host inverse of ``_pack_labels`` along the last axis (length ``n``)."""
+    from runet_tpu.infer.packing import pack_width, unpack_crumbs, unpack_nibbles
+
+    w = pack_width(num_classes)
+    if w == 2:
+        return unpack_crumbs(packed, n)
+    if w == 4:
+        return unpack_nibbles(packed, n)
+    return np.asarray(packed)
+
+
+def _native_paste_packed(canvas, packed, lo, extent, num_classes: int) -> bool:
+    """Fused native unpack+paste for whichever packing ``_pack_labels``
+    chose; False when the native tier (or that symbol) is unavailable."""
+    from runet_tpu.infer.packing import pack_width
+    from runet_tpu.utils.native import native_paste_crumbs, native_paste_nibbles
+
+    w = pack_width(num_classes)
+    if w == 2:
+        return native_paste_crumbs(canvas, packed, lo, extent)
+    if w == 4:
+        return native_paste_nibbles(canvas, packed, lo, extent)
+    return False
+
+
 def _labels_to_native(labels, native_shape, scale_fn, num_classes: int) -> np.ndarray:
     """One-hot back-resample of DEVICE labels to a native grid, fetched
-    nibble-packed when K <= 16 (labels >= 16 would corrupt the 4-bit lanes
-    — fetched raw instead) and returned as host uint8."""
-    from runet_tpu.infer.packing import pack_nibbles, unpack_nibbles
-
+    packed at the widest lossless width for K (2-bit/4-bit lanes; labels
+    that would corrupt the lanes are fetched raw) as host uint8."""
     native = resample_labels_onehot_dynamic(
         labels.astype(jnp.int32),
         tuple(int(s) for s in native_shape),
         np.asarray(scale_fn, np.float32),
         num_classes,
     ).astype(jnp.uint8)
-    if num_classes <= 16:
-        packed = jax.jit(pack_nibbles)(native)
-        return unpack_nibbles(np.asarray(packed), int(native_shape[2]))
-    return np.asarray(native)
+    packed = jax.jit(_pack_labels, static_argnums=1)(native, num_classes)
+    return _unpack_labels(np.asarray(packed), num_classes, int(native_shape[2]))
 
 
 # Measured per-voxel speed ratio of the XLA conv path vs the fused Pallas
@@ -233,14 +269,11 @@ def _roi_program(
     native = resample_labels_onehot_dynamic(
         labels.astype(jnp.int32), crop_shape, scale_fn, num_classes
     ).astype(jnp.uint8)
-    # Nibble-pack (K ≤ 16 only — labels >= 16 would corrupt the 4-bit
-    # lanes) along Z: halves the uint8 label fetch bytes (infer/packing.py
-    # — matters when fetches can't hide behind compute).
-    if num_classes <= 16:
-        from runet_tpu.infer.packing import pack_nibbles
-
-        return pack_nibbles(native)
-    return native
+    # Pack along Z at the widest lossless width for K (2-bit for KiTS19's
+    # 3 classes = quarter bytes, nibbles up to 16): fetch bytes are real
+    # sequential-latency cost once every ROI's compute has drained
+    # (CASCADE_PROFILE deep: 134-182 ms residual fetch+paste).
+    return _pack_labels(native, num_classes)
 
 
 @partial(
@@ -284,11 +317,7 @@ def _roi_program_batch(
         ).astype(jnp.uint8)
 
     native = jax.vmap(_back)(labels)
-    if num_classes <= 16:
-        from runet_tpu.infer.packing import pack_nibbles
-
-        return pack_nibbles(native)  # last-axis packing is batch-agnostic
-    return native
+    return _pack_labels(native, num_classes)  # last-axis pack is batch-agnostic
 
 
 def predict_volume(
@@ -559,18 +588,14 @@ def predict_case(
                     : fine_shape[0], : fine_shape[1], : fine_shape[2]
                 ]
             with t.phase("roi_labels_back"):
-                from runet_tpu.infer.packing import pack_nibbles
-
                 native = resample_labels_onehot_dynamic(
                     roi_labels.astype(jnp.int32),
                     tuple(crop.shape),
                     np.asarray(scale_fn, np.float32),
                     fine.num_classes,
                 ).astype(jnp.uint8)
-                dev = (
-                    jax.jit(pack_nibbles)(native)
-                    if fine.num_classes <= 16
-                    else native
+                dev = jax.jit(_pack_labels, static_argnums=1)(
+                    native, fine.num_classes
                 )
             roi_results.append((lo, hi, tuple(int(w) for w in want_buf), dev, None))
 
@@ -583,8 +608,6 @@ def predict_case(
             _dispatch_rois([e])
 
     # ---- fetch + paste (device work for all ROIs already in flight) ----
-    from runet_tpu.infer.packing import unpack_nibbles
-
     fetched_memo: dict[int, np.ndarray] = {}
     for lo, hi, want_buf, dev, bidx in roi_results:
         with t.phase("roi_fetch_paste"):
@@ -602,13 +625,13 @@ def predict_case(
                 fetched = fetched[bidx]
             if fine.num_classes <= 16:
                 # Fused native unpack+paste: one read of the packed bytes,
-                # nonzero nibbles overwrite (np.where semantics). Falls back
+                # nonzero lanes overwrite (np.where semantics). Falls back
                 # to the numpy chain when the native tier is unavailable.
-                from runet_tpu.utils.native import native_paste_nibbles
-
-                if native_paste_nibbles(native_canvas, fetched, lo, hi - lo):
+                if _native_paste_packed(
+                    native_canvas, fetched, lo, hi - lo, fine.num_classes
+                ):
                     continue
-                fetched = unpack_nibbles(fetched, want_buf[2])
+                fetched = _unpack_labels(fetched, fine.num_classes, want_buf[2])
             crop_labels = fetched[
                 : hi[0] - lo[0], : hi[1] - lo[1], : hi[2] - lo[2]
             ]

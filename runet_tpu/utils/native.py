@@ -24,6 +24,7 @@ _lib: ctypes.CDLL | None = None
 _build_failed = False
 _has_ext = False  # zero_nonkept_3d / component_stats_3d present in the .so
 _has_boxes = False  # keep_largest_in_boxes_3d present in the .so
+_has_crumbs = False  # paste_crumbs_3d present in the .so
 
 
 def _load() -> ctypes.CDLL | None:
@@ -128,6 +129,20 @@ def _load() -> ctypes.CDLL | None:
             _has_boxes = True
         except AttributeError:
             _has_boxes = False
+        global _has_crumbs
+        try:
+            lib.paste_crumbs_3d.restype = None
+            lib.paste_crumbs_3d.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ] + [ctypes.c_int64] * 6
+            _has_crumbs = True
+        except AttributeError:
+            _has_crumbs = False
         _lib = lib
         return _lib
 
@@ -244,6 +259,40 @@ def native_paste_nibbles(
     assert ex <= packed.shape[0] and ey <= packed.shape[1]
     assert -(-ez // 2) <= packed.shape[2]
     lib.paste_nibbles_3d(
+        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        canvas.shape[1],
+        canvas.shape[2],
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        packed.shape[1],
+        packed.shape[2],
+        int(lo[0]),
+        int(lo[1]),
+        int(lo[2]),
+        ex,
+        ey,
+        ez,
+    )
+    return True
+
+
+def native_paste_crumbs(
+    canvas: np.ndarray,
+    packed: np.ndarray,
+    lo: np.ndarray,
+    extent: np.ndarray,
+) -> bool:
+    """2-bit sibling of ``native_paste_nibbles`` (pack_crumbs encoding,
+    4 voxels/byte LSB-first). False if unavailable."""
+    lib = _load()
+    if lib is None or not _has_crumbs:
+        return False
+    assert canvas.dtype == np.uint8 and canvas.flags.c_contiguous
+    packed = np.ascontiguousarray(packed, np.uint8)
+    assert packed.ndim == 3 and canvas.ndim == 3
+    ex, ey, ez = (int(e) for e in extent)
+    assert ex <= packed.shape[0] and ey <= packed.shape[1]
+    assert -(-ez // 4) <= packed.shape[2]
+    lib.paste_crumbs_3d(
         canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         canvas.shape[1],
         canvas.shape[2],
