@@ -85,6 +85,12 @@ class PreprocessConfig:
     # noise. OFF by default (oracle tests push label-valued images through
     # the pipeline and must stay exact); ON in the shipping CT presets.
     transfer_quant: bool = False
+    # With transfer_quant: pack TWO 4-bit voxels per upload byte (16 levels
+    # over hu_window, ~25 HU/step) — halves upload bytes again. Suitable
+    # ONLY for the coarse localization stage, whose output is a foreground
+    # box with margin slack (kidney/background contrast is hundreds of HU);
+    # the fine stage keeps uint8 (~1.5 HU/step) for tumor-grade contrast.
+    transfer_quant4: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,6 +72,16 @@ def _to_transfer_dtype(image: np.ndarray, pp: PreprocessConfig | None = None) ->
     DTYPE (``_dequant``), so each bundle uses exactly one class."""
     if pp is not None and pp.transfer_quant:
         lo, hi = pp.hu_window
+        if getattr(pp, "transfer_quant4", False):
+            # 4-bit lanes (coarse stage only — see PreprocessConfig): two
+            # voxels per byte along z, LOW nibble = even z. Odd z gets an
+            # edge-replicated pad voxel; the device slices it back off
+            # (the program knows the true z statically via ``in_z``).
+            q = (image.astype(np.float32) - lo) * (15.0 / (hi - lo))
+            q = np.clip(np.rint(q), 0.0, 15.0).astype(np.uint8)
+            if q.shape[-1] % 2:
+                q = np.concatenate([q, q[..., -1:]], axis=-1)
+            return q[..., 0::2] | (q[..., 1::2] << 4)
         q = (image.astype(np.float32) - lo) * (255.0 / (hi - lo))
         return np.clip(np.rint(q), 0.0, 255.0).astype(np.uint8)
     if image.dtype == np.float16:
@@ -89,6 +99,17 @@ def _dequant(x: jnp.ndarray, hu_window: tuple[float, float]) -> jnp.ndarray:
     return x.astype(jnp.float32) * ((hi - lo) / 255.0) + lo
 
 
+def _dequant4(x: jnp.ndarray, hu_window: tuple[float, float], in_z: int) -> jnp.ndarray:
+    """Device-side inverse of the 4-bit transfer packing: unpack two voxels
+    per byte along z (LOW nibble = even z), slice the odd-z pad back off,
+    dequantize 16 levels over ``hu_window`` to f32."""
+    lo_w, hi_w = hu_window
+    lo = x & jnp.uint8(0x0F)
+    hi = x >> jnp.uint8(4)
+    full = jnp.stack([lo, hi], axis=-1).reshape(*x.shape[:-1], -1)[..., :in_z]
+    return full.astype(jnp.float32) * ((hi_w - lo_w) / 15.0) + lo_w
+
+
 def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfig):
     out_shape = output_shape_for_spacing(image.shape, native_spacing, pp.spacing)
     # Traced scale: cases sharing a shape class but differing in native
@@ -97,7 +118,11 @@ def _preprocess_on_device(image: np.ndarray, native_spacing, pp: PreprocessConfi
         [d / s for s, d in zip(native_spacing, pp.spacing)], np.float32
     )
     up = jnp.asarray(_to_transfer_dtype(np.asarray(image), pp))
-    x = resample_dynamic(_dequant(up, pp.hu_window), out_shape, scale, method="linear")
+    if pp.transfer_quant and getattr(pp, "transfer_quant4", False):
+        deq = _dequant4(up, pp.hu_window, int(np.asarray(image).shape[-1]))
+    else:
+        deq = _dequant(up, pp.hu_window)
+    x = resample_dynamic(deq, out_shape, scale, method="linear")
     return normalize(x, pp.hu_window, pp.hu_stats)
 
 
@@ -209,9 +234,10 @@ def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tu
 
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "out_shape", "hu_window", "hu_stats"),
+    static_argnames=("apply_fn", "out_shape", "hu_window", "hu_stats", "in_z"),
 )
-def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_stats):
+def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_stats,
+                    in_z=None):
     """Fused coarse stage: resample→normalize→pad32→forward→argmax→binarize→
     bit-pack, one dispatch (same tunnel round-trip rationale as _roi_program).
     Returns the foreground mask bit-packed along Z (infer/packing.py): the
@@ -223,7 +249,12 @@ def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_sta
     from runet_tpu.infer.packing import pack_bits
     from runet_tpu.infer.sliding_window import _single_pass
 
-    x = resample_dynamic(_dequant(image, hu_window), out_shape, scale, "linear")
+    deq = (
+        _dequant4(image, hu_window, in_z)
+        if in_z is not None
+        else _dequant(image, hu_window)
+    )
+    x = resample_dynamic(deq, out_shape, scale, "linear")
     x = normalize(x, hu_window, hu_stats)
     div32 = tuple(-(-s // 32) * 32 for s in x.shape)
     pads = [(0, p - s) for s, p in zip(x.shape, div32)]
@@ -412,6 +443,11 @@ def predict_case(
                 np.asarray(c_scale, np.float32),  # traced, not a cache key
                 c_pp.hu_window,
                 c_pp.hu_stats,
+                in_z=(
+                    int(strided.shape[-1])
+                    if c_pp.transfer_quant and getattr(c_pp, "transfer_quant4", False)
+                    else None
+                ),
             )
             from runet_tpu.infer.packing import unpack_bits
 

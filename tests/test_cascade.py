@@ -456,6 +456,62 @@ def test_transfer_quant_cascade_equality():
     np.testing.assert_array_equal(a, b)
 
 
+def test_transfer_quant4_coarse_cascade_equality():
+    """4-bit coarse-stage upload packing (PreprocessConfig.transfer_quant4):
+    with a (0, 15) window, integer oracle values quantize EXACTLY onto the
+    16 levels, so the coarse mask — and therefore the whole cascade output —
+    is identical to the unquantized path. Covers the odd-z host edge-pad +
+    device in_z slice (image z = 47)."""
+    import dataclasses
+
+    _, seg = make_phantom((64, 64, 47), spacing=(1.0, 1.0, 1.5), num_classes=3, seed=0)
+    img = seg.astype(np.float32)
+    cc = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2)
+
+    def bundles(quant4):
+        pp_c = PreprocessConfig(
+            spacing=(2.0, 2.0, 2.0), hu_window=(0.0, 15.0), hu_stats=(0.0, 1.0),
+            transfer_quant=quant4, transfer_quant4=quant4,
+        )
+        coarse = ModelBundle(
+            apply_fn=_binary_oracle(), params={}, num_classes=2,
+            preprocess=pp_c, infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+        )
+        fine = ModelBundle(
+            apply_fn=_class_oracle(3), params={}, num_classes=3,
+            preprocess=_identity_pp((1.0, 1.0, 1.0)),
+            infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+        )
+        return coarse, fine
+
+    c0, f0 = bundles(False)
+    c1, f1 = bundles(True)
+    a = predict_case(c0, f0, img, (1.0, 1.0, 1.5), cc)
+    b = predict_case(c1, f1, img, (1.0, 1.0, 1.5), cc)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_transfer_quant4_roundtrip_error_bound():
+    """4-bit pack→unpack→dequant error ≤ half a (25.5 HU) step over the
+    window, including the odd-z edge-pad voxel."""
+    from runet_tpu.infer.cascade import _dequant4, _to_transfer_dtype
+    from runet_tpu.config import PreprocessConfig
+
+    pp = PreprocessConfig(
+        hu_window=(-79.0, 304.0), transfer_quant=True, transfer_quant4=True
+    )
+    rng = np.random.default_rng(3)
+    for z in (32, 33):
+        x = rng.uniform(-200, 400, (8, 6, z)).astype(np.float32)
+        q = _to_transfer_dtype(x, pp)
+        assert q.dtype == np.uint8 and q.shape == (8, 6, -(-z // 2))
+        back = np.asarray(_dequant4(jnp.asarray(q), pp.hu_window, z))
+        assert back.shape == x.shape
+        step = (304.0 + 79.0) / 15.0
+        clipped = np.clip(x, -79.0, 304.0)
+        assert np.abs(back - clipped).max() <= step / 2 + 1e-3
+
+
 def test_transfer_quant_roundtrip_error_bound():
     """Quantize→dequant error is bounded by half a step over the window and
     values clip to the window outside it (the same clip normalize applies)."""
