@@ -84,7 +84,9 @@ def measure(coarse, fine, cascade_cfg, cases, segs, sp, label):
 def main():
     import bench
 
-    data_root = Path("/tmp/runet_bench_train_data")
+    # Same dataset-ensure bench.main uses: a fresh host (no prior bench run)
+    # must not fail mid-script on a missing /tmp dataset (ADVICE r3).
+    data_root = bench.ensure_train_data()
     cases = [bench.make_case(seed=s) for s in bench.CASE_SEEDS]
     segs = [seg for _img, seg in cases]
     coarse, _ = bench.trained_bundle("coarse", data_root)
