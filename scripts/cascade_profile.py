@@ -149,10 +149,18 @@ def main():
     try:
         casc._roi_program, casc._roi_program_batch = wrap1, wrapb
         for ci, (img, _seg) in enumerate(cases):
-            deep.clear()
-            t = PhaseTimer()
-            predict_case(coarse, fine, img, bench.CASE_SPACING,
-                         fine_cfg.cascade, timer=t)
+            # Two iterations, keep the LAST: the first synced exec of a
+            # program through the tunnel can absorb minutes of shared-infra
+            # first-execution queueing even after warmup_cases (the round-3
+            # dirty regeneration recorded 15.7 s for a 417 ms dispatch and
+            # would have misdirected the next optimization round — VERDICT
+            # r3 weak #3). The throwaway pass eats that; the kept pass
+            # measures steady-state execution.
+            for _warm in range(2):
+                deep.clear()
+                t = PhaseTimer()
+                predict_case(coarse, fine, img, bench.CASE_SPACING,
+                             fine_cfg.cascade, timer=t)
             d = t.as_dict()
             # With every ROI exec synced inside roi_dispatch, the residual
             # roi_fetch_paste phase is pure transfer + unpack + paste.
