@@ -644,6 +644,19 @@ def predict_case(
             _dispatch_rois([e])
 
     # ---- fetch + paste (device work for all ROIs already in flight) ----
+    # Kick off ALL device→host copies before the first blocking fetch: the
+    # serial per-ROI np.asarray otherwise issues fetch i+1's request only
+    # after fetch i's bytes fully arrive — one tunnel RTT per ROI plus no
+    # exec/transfer pipelining. copy_to_host_async lets the tunnel stream
+    # ROI 2's packed labels while the host is still receiving ROI 1's.
+    _seen_async: set[int] = set()
+    for *_rest, dev_a, _b in roi_results:
+        if id(dev_a) not in _seen_async:
+            _seen_async.add(id(dev_a))
+            try:
+                dev_a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # backend without async host copies: fetches stay sync
     fetched_memo: dict[int, np.ndarray] = {}
     for lo, hi, want_buf, dev, bidx in roi_results:
         with t.phase("roi_fetch_paste"):
