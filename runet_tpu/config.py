@@ -263,7 +263,12 @@ def _preset_coarse() -> Config:
         # 4 mm iso: localization tolerates coarse voxels (boxes get a 16 mm
         # margin downstream), and the 512 mm FOV then fits the 128³ canonical
         # grid where the fused Pallas blocks apply (CascadeConfig).
-        preprocess=PreprocessConfig(spacing=(4.0, 4.0, 4.0), transfer_quant=True),
+        # transfer_quant4 ON: measured on chip (QUANT4_AB.json, 2026-08-20,
+        # warm round) coarse_predict 97.7 vs 114.2 ms median and per-case
+        # Dice IDENTICAL to uint8 across both rounds — the 16-level coarse
+        # upload cannot move a margined box edge. Fine stages keep uint8.
+        preprocess=PreprocessConfig(spacing=(4.0, 4.0, 4.0), transfer_quant=True,
+                                    transfer_quant4=True),
         train=TrainConfig(patch_size=(128, 128, 128), fg_prob=0.5,
                           batch_size=1, grad_accum=2, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128), overlap=0.5),
