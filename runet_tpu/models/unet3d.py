@@ -34,6 +34,9 @@ class ConvNormAct(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
+    # Which fused Pallas generation serves layout="dchw" ("v2" shifted-slab
+    # tap GEMMs, "v2m" M-packed — kernels/fused_block.py).
+    fused_kernel: str = "v2"
 
     @nn.compact
     def __call__(self, x, layout: str = "ndhwc"):
@@ -59,8 +62,12 @@ class ConvNormAct(nn.Module):
 
             if self.strides != (1, 1, 1):
                 raise ValueError("fused path is stride-1 only")
-            fn = conv_in_stats_dchw_batch if layout == "dchw" else conv_in_stats_dhcw_batch
-            y, mean, sqm = fn(x.astype(self.dtype), kernel)
+            if layout == "dchw":
+                y, mean, sqm = conv_in_stats_dchw_batch(
+                    x.astype(self.dtype), kernel, version=self.fused_kernel
+                )
+            else:
+                y, mean, sqm = conv_in_stats_dhcw_batch(x.astype(self.dtype), kernel)
             y = InstanceNorm(
                 eps=self.norm_eps,
                 dtype=self.dtype,
@@ -94,8 +101,8 @@ def _fused_pair(cna0, cna1, x, version: str = "v2"):
     path: ONE layout transpose at entry and one back at exit, amortized over
     the convs between them (the round-1 per-conv-transpose loss,
     kernels/attic/conv3d.py docstring, is exactly what this avoids).
-    v2 = (B, D, C, H, W) zero-copy tap-GEMM kernel; v1 = (B, D, H, C, W)."""
-    if version == "v2":
+    v2/v2m = (B, D, C, H, W) tap-GEMM kernels; v1 = (B, D, H, C, W)."""
+    if version in ("v2", "v2m"):
         x = jnp.transpose(x, (0, 1, 4, 2, 3))  # NDHWC → (B, D, C, H, W)
         if cna0 is not None:
             x = cna0(x, layout="dchw")
@@ -131,6 +138,7 @@ class EncoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
+            fused_kernel=self.fused_kernel,
         )
         cna0 = ConvNormAct(self.features, strides=stride, **kw)
         cna1 = ConvNormAct(self.features, **kw)
@@ -201,6 +209,7 @@ class DecoderBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
+            fused_kernel=self.fused_kernel,
         )
         cna0 = ConvNormAct(self.features, **kw)
         cna1 = ConvNormAct(self.features, **kw)

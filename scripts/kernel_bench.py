@@ -42,6 +42,7 @@ import numpy as np  # noqa: E402
 
 from runet_tpu.kernels.fused_block import (  # noqa: E402
     _conv3x3_dchw_impl,
+    _conv3x3_dchw_m_impl,
     _conv3x3_dhcw_impl,
     conv3x3_dchw_dw,
 )
@@ -109,6 +110,18 @@ def bench_geometry(name, D, H, W, C, Cout, dtype=jnp.bfloat16, iters=30,
             row["v2_ms"], row["v2_tflops"] = _time(v2_step, xp2, fl, iters)
         except Exception as e:
             row["v2_error"] = str(e)[:120]
+
+        # v2m: M-packed tap GEMMs (kw taps stacked into M; 3x the PE
+        # occupancy at level 0 — kernels/fused_block.py v2m section).
+        def v2m_step(xx):
+            y, s, q = _conv3x3_dchw_m_impl(xx, w)
+            y = y + (s * 0 + q * 0).astype(y.dtype)[None, :, None, None]
+            return jnp.pad(y, ((1, 1), (0, 0), (1, 1), (0, 0)))
+
+        try:
+            row["v2m_ms"], row["v2m_tflops"] = _time(v2m_step, xp2, fl, iters)
+        except Exception as e:
+            row["v2m_error"] = str(e)[:120]
     if v3:
         from runet_tpu.kernels.attic.conv_v3_deep import conv3x3_v3
 

@@ -119,7 +119,7 @@ def test_applicability_gate():
             fb.FORCE_INTERPRET = False
 
 
-@pytest.mark.parametrize("version", ["v1", "v2"])
+@pytest.mark.parametrize("version", ["v1", "v2", "v2m"])
 def test_unet_fused_matches_xla_forward(version):
     """Model-level parity: fused blocks ON (interpret) == XLA path, same
     params; and the param tree is identical (checkpoint-stable)."""
@@ -170,7 +170,7 @@ def test_create_train_model_fused_gating():
     assert create_train_model(cfg_off).cfg.fused_blocks is False
 
 
-@pytest.mark.parametrize("version", ["v1", "v2"])
+@pytest.mark.parametrize("version", ["v1", "v2", "v2m"])
 def test_unet_fused_grads_finite_and_close(version):
     """Train-step-shaped gradient through the fused model ≈ XLA gradients."""
     from runet_tpu.config import ModelConfig
@@ -323,3 +323,89 @@ def test_conv3x3_dchw_dw_kernel_matches_oracle(dims):
     (ref,) = vjp_fn(g)
     got = conv3x3_dchw_dw(xp, g, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-4)
+
+
+# ---- v2m (M-packed tap GEMMs) ----
+
+
+def _m_case(seed=0, D=4, H=8, C=16, Cout=16, W=128, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    xp = np.zeros((D + 2, C, H + 2, W), dtype)
+    xp[1:-1, :, 1:-1] = rng.normal(size=(D, C, H, W)).astype(dtype)
+    w = (rng.normal(size=(3, 3, 3, C, Cout)) * 0.2).astype(dtype)
+    return jnp.asarray(xp), jnp.asarray(w)
+
+
+@pytest.mark.parametrize(
+    "dims",
+    [
+        (4, 8, 16, 16, 128),   # level-0-like
+        (2, 8, 32, 32, 64),    # W=64 half-vreg slices
+        (2, 16, 16, 32, 128),  # Cout != C
+    ],
+)
+def test_conv3x3_dchw_m_matches_reference(dims):
+    from runet_tpu.kernels.fused_block import conv3x3_dchw_m
+
+    D, H, C, Cout, W = dims
+    xp, w = _m_case(seed=D + W, D=D, H=H, C=C, Cout=Cout, W=W)
+    y, s, q = conv3x3_dchw_m(xp, w, True)
+    yr, sr, qr = reference_conv3x3_dchw(xp, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(sr), atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=1e-3, rtol=1e-5)
+
+
+def test_conv3x3_dchw_m_w_edges_zero_padded():
+    """The v2m kw shifts happen on the GEMM RESULT (post-GEMM roll+mask);
+    the per-W-row boundary lanes must still see exact SAME zero padding."""
+    from runet_tpu.kernels.fused_block import conv3x3_dchw_m
+
+    D, H, C, W = 2, 8, 16, 128
+    xp = jnp.ones((D + 2, C, H + 2, W), jnp.float32)
+    w = jnp.ones((3, 3, 3, C, 16), jnp.float32)
+    y, _, _ = conv3x3_dchw_m(xp, w, True)
+    yr, _, _ = reference_conv3x3_dchw(xp, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), rtol=1e-6)
+    assert np.asarray(y)[1, 0, 4, 64] == pytest.approx(27 * C)
+    assert np.asarray(y)[1, 0, 4, 0] == pytest.approx(18 * C)
+    assert np.asarray(y)[1, 0, 4, W - 1] == pytest.approx(18 * C)
+
+
+def test_conv3x3_dchw_m_grads_match_reference():
+    from runet_tpu.kernels.fused_block import conv3x3_dchw_m
+
+    xp, w = _m_case(seed=1, D=2, H=8, C=16, Cout=16)
+    gcoef = jnp.asarray(
+        np.random.default_rng(2).normal(size=(16,)).astype(np.float32)
+    )
+
+    def loss_fused(xp, w):
+        y, s, q = conv3x3_dchw_m(xp, w, True)
+        return jnp.sum(y**2) + jnp.sum(s * gcoef) + jnp.sum(q * gcoef**2)
+
+    def loss_ref(xp, w):
+        y, s, q = reference_conv3x3_dchw(xp, w)
+        return jnp.sum(y**2) + jnp.sum(s * gcoef) + jnp.sum(q * gcoef**2)
+
+    gx, gw = jax.grad(loss_fused, argnums=(0, 1))(xp, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(xp, w)
+    np.testing.assert_allclose(
+        np.asarray(gx)[1:-1, :, 1:-1], np.asarray(rx)[1:-1, :, 1:-1],
+        atol=1e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-2, rtol=1e-3)
+
+
+def test_conv_in_stats_dchw_batch_v2m_dispatch():
+    """The batch wrapper's version switch routes to the M-packed kernel and
+    keeps the channel-padding contract."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 20, 8, 128)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, 3, 20, 24)) * 0.2).astype(np.float32))
+    y, m, sq = conv_in_stats_dchw_batch(x, k, interpret=True, version="v2m")
+    xp = jnp.pad(x[0], ((1, 1), (0, 0), (1, 1), (0, 0)))
+    yr, sr, qr = reference_conv3x3_dchw(xp, k)
+    np.testing.assert_allclose(np.asarray(y[0]), np.asarray(yr), atol=2e-5, rtol=1e-5)
+    n = 4 * 8 * 128
+    np.testing.assert_allclose(np.asarray(m[0]), np.asarray(sr) / n, atol=1e-5)
