@@ -600,7 +600,7 @@ conv3x3_dchw.defvjp(_cv2_fwd, _cv2_bwd)
 
 
 def _conv_stats_kernel_v2m(
-    xp, wt_ref, o_ref, sum_ref, sq_ref, slab, sem,
+    xp, wt_ref, o_ref, sum_ref, sq_ref, slab, sacc, qacc, sem,
     *, TD, TH, RH, W, C,
 ):
     d_tile = pl.program_id(0)
@@ -622,54 +622,58 @@ def _conv_stats_kernel_v2m(
     # lane dim; the wrapped lane is exactly the one padding zeroes).
     wmod = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Cout, RHW), 1), W)
 
-    sums = jnp.zeros((1, Cout), jnp.float32)
-    sqs = jnp.zeros((1, Cout), jnp.float32)
+    # IN-stats partials stay VECTOR-shaped until the very end: a cross-lane
+    # reduction per h-block costs more VPU time than the whole shift+mask
+    # apply; accumulating (Cout, RH·W) partials in scratch makes the
+    # per-block stats cost one add + one fma, with ONE reduction per
+    # program invocation.
+    sacc[:] = jnp.zeros((Cout, RHW), jnp.float32)
+    qacc[:] = jnp.zeros((Cout, RHW), jnp.float32)
+
     # Static unroll (see v2): static lane offsets → aligned vreg windows.
     for d in range(TD):
         for hb in range(n_h_blocks):
             h0 = hb * RH
-            acc = jnp.zeros((Cout, RHW), jnp.float32)
+            # Accumulate the packed GEMM over kh FIRST: the kw shift+mask
+            # is linear and identical for every kh, so it hoists out of the
+            # loop — one roll pair per h-block instead of three.
+            p = None
             for kh in range(3):
                 xv = slab[
                     pl.ds(d, 3), :, pl.ds((h0 + kh) * W, RHW)
                 ].reshape(3 * C, RHW)
-                p = jnp.dot(
+                dot = jnp.dot(
                     wt_ref[kh], xv, preferred_element_type=jnp.float32
                 )  # (3·Cout, RH·W): kw-major row blocks
-                # contribution[w] = p_kw[w + kw - 1]: shift kw=0 right,
-                # kw=2 left; zero the pad lane (exact SAME semantics).
-                p0 = jnp.where(wmod == 0, 0.0,
-                               pltpu.roll(p[:Cout], 1, axis=1))
-                p2 = jnp.where(wmod == W - 1, 0.0,
-                               pltpu.roll(p[2 * Cout:], RHW - 1, axis=1))
-                acc = acc + p[Cout:2 * Cout] + p0 + p2
+                p = dot if p is None else p + dot
+            # contribution[w] = p_kw[w + kw - 1]: shift kw=0 right, kw=2
+            # left; zero the pad lane (exact SAME semantics).
+            p0 = jnp.where(wmod == 0, 0.0,
+                           pltpu.roll(p[:Cout], 1, axis=1))
+            p2 = jnp.where(wmod == W - 1, 0.0,
+                           pltpu.roll(p[2 * Cout:], RHW - 1, axis=1))
+            acc = p[Cout:2 * Cout] + p0 + p2
             yb = acc.astype(o_ref.dtype)
             o_ref[d, :, pl.ds(h0 * W, RHW)] = yb
             # IN stats from the rounded output (matches the XLA fallback).
             yf = yb.astype(jnp.float32)
-            sums = sums + jnp.sum(yf, axis=1)[None]
-            sqs = sqs + jnp.sum(yf * yf, axis=1)[None]
-    sum_ref[0, 0, 0] = sums[0]
-    sq_ref[0, 0, 0] = sqs[0]
+            sacc[:] += yf
+            qacc[:] += yf * yf
+    sum_ref[0, 0, 0] = jnp.sum(sacc[:], axis=1)
+    sq_ref[0, 0, 0] = jnp.sum(qacc[:], axis=1)
 
 
 def _pick_tiles_v2m(D: int, H: int, C: int, W: int, itemsize: int):
-    """(TD, TH, RH) for v2m: ONE slab (no shift copies) → bigger tiles pay
-    for themselves in halo re-reads ((TD+2)/TD input DMA factor)."""
-    for TD, TH in ((8, 32), (8, 16), (4, 16), (2, 16), (2, 8), (2, 4),
-                   (1, 2), (1, 1)):
-        if D % TD or H % TH:
-            continue
-        slab_b = (TD + 2) * C * (TH + 2) * W * itemsize
-        if slab_b > 10 * 1024 * 1024:
-            continue
-        for RH in (min(8, TH), 4, 2, 1):
-            if RH > TH or TH % RH:
-                continue
-            if (RH * W) % 128:
-                continue
-            return TD, TH, RH
-    raise ValueError(f"no v2m tile config for D={D} H={H} C={C} W={W}")
+    """(TD, TH, RH) for v2m: the chip-proven v2 tile configs. v2m's VMEM at
+    a given tile is strictly SMALLER than v2's (one slab instead of three,
+    plus a small f32 stats scratch), so every config v2 compiles, v2m does
+    too. Larger (8, 16)/(8, 32) tiles were chip-tried for the lower halo
+    re-read factor and measured ≤6%% faster at level 0 — but Mosaic's
+    scoped-vmem accounting rejected them OPAQUELY at other block geometries
+    (C=Cout=64 blew the 16 MB limit by 2 MB; C_in=32→Cout=64 failed at a
+    third size), and a static budget model could not predict which. Not
+    worth a per-geometry empirical gate for 6%%; measured 2026-08-20."""
+    return _pick_tiles_v2(D, H, C, W, itemsize)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -716,6 +720,8 @@ def _conv3x3_dchw_m_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = Fals
         ],
         scratch_shapes=[
             pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.VMEM((Cout, RH * W), jnp.float32),
+            pltpu.VMEM((Cout, RH * W), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
