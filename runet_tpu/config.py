@@ -40,10 +40,13 @@ class ModelConfig:
     # shapes fit (level 0 at 128³ patches; more levels on larger volumes);
     # XLA everywhere else. BASELINE north_star "fused Pallas kernels".
     fused_blocks: bool = True
-    # Which fused kernel generation: "v2" = (D, C, H, W) zero-copy tap GEMMs
-    # (kernels/fused_block.py v2 section); "v1" = (D, H, C, W) im2col,
-    # kept for A/B.
-    fused_kernel: str = "v2"
+    # Which fused kernel generation: "v2m" (default) = (D, C, H, W)
+    # M-packed tap GEMMs with double-buffered slab DMA — chip-measured
+    # 2026-08-20 vs v2: level-0 kernel 1.80 vs 3.35 ms, full fwd 42.4 vs
+    # 45.6 ms at 128³, ROI fwd 151.6 vs 166.1, train step 174.8 vs 180.9
+    # (kernels/fused_block.py v2m section); "v2" = shifted-slab tap GEMMs;
+    # "v1" = (D, H, C, W) im2col, kept for A/B.
+    fused_kernel: str = "v2m"
     # Use fused blocks inside the *training* step too. Default ON since the
     # round-3 backward rework: the v2 custom_vjp runs dx as the same tap-GEMM
     # kernel on the cotangent and dw as a dedicated Pallas tap-contraction

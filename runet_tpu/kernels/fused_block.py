@@ -426,97 +426,120 @@ def _conv3x3_dchw_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False)
 
 
 def _dw_kernel_v2(
-    xp, g_ref, dw_ref, slab, slabR, slabL, sem,
-    *, TD, TH, RH, W, C, nD, nH,
+    xp, g_ref, dw_ref, slab2, sem2,
+    *, TD, TH, RH, W, C, n_h_tiles, n_steps,
 ):
     """conv-bwd-weights in the v2 layout: dw[kd,kh,kw,ci,co] =
     Σ_{d,h,w} xp[d+kd, ci, h+kh, w+kw-1] · g[d, co, h, w].
 
-    The xv tap views are IDENTICAL to the forward kernel's (same slab, same
-    W-shift slabs, same column slices); each tap contracts against the
-    output-block cotangent over the flattened RH·W lanes, accumulating
-    (3C, Cout) partials into one output block revisited by every grid step.
-    Measured (KERNEL_BENCH.json dw rows): 4.6 ms at level-0 vs 25.7 ms for
-    XLA's conv-bwd-weights correlation — XLA's own cost, not transposes:
-    pre-transposed NDHWC inputs measure the same 25.7 ms.
+    Round-4 restructure (same findings as the v2m forward — the original
+    three-shifted-slab serial-DMA version measured 5.87 ms at level 0,
+    largely slab wait):
+
+    - **Shift g, not x**: reindexing w' = w + kw - 1 turns the three
+      W-shifted SLAB copies into two roll+masks of the small (Cout, RH·W)
+      cotangent block per h-block — the slab is read unshifted, so ONE
+      slab buffer suffices.
+    - **N-packed taps**: the three shifted g variants stack along Cout into
+      gcat (3·Cout, RH·W); one dot per (d, h-block, kh) contracts
+      xv (3C, RH·W) × gcat over the lanes → (3C, 3·Cout), all three kw
+      taps side by side — 3× fewer MXU passes, N fill 32→96 at level 0.
+    - **Double-buffered slab DMA** (1-D grid), as in the v2m forward.
     """
-    d_tile = pl.program_id(0)
-    h_tile = pl.program_id(1)
+    step = pl.program_id(0)
+    slot = jax.lax.rem(step, 2)
 
-    cp = pltpu.make_async_copy(
-        xp.at[pl.ds(d_tile * TD, TD + 2), :, pl.ds(h_tile * TH * W, (TH + 2) * W)],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    def issue(s, st):
+        dt = st // n_h_tiles
+        ht = st % n_h_tiles
+        return pltpu.make_async_copy(
+            xp.at[pl.ds(dt * TD, TD + 2), :, pl.ds(ht * TH * W, (TH + 2) * W)],
+            slab2.at[s],
+            sem2.at[s],
+        )
 
-    n_rows = (TD + 2) * C
-    HW = (TH + 2) * W
-    x2 = slab[:].reshape(n_rows, HW).astype(jnp.float32)
-    wmod = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (n_rows, HW), 1), W)
-    xr = jnp.where(wmod == 0, 0.0, pltpu.roll(x2, 1, axis=1))
-    xl = jnp.where(wmod == W - 1, 0.0, pltpu.roll(x2, HW - 1, axis=1))
-    slabR[:] = xr.reshape(slab.shape).astype(slab.dtype)
-    slabL[:] = xl.reshape(slab.shape).astype(slab.dtype)
+    @pl.when(step == 0)
+    def _first():
+        issue(0, 0).start()
 
-    @pl.when(jnp.logical_and(d_tile == 0, h_tile == 0))
+    @pl.when(step + 1 < n_steps)
+    def _prefetch():
+        issue(1 - slot, step + 1).start()
+
+    pltpu.make_async_copy(
+        xp.at[pl.ds(0, TD + 2), :, pl.ds(0, (TH + 2) * W)],
+        slab2.at[slot],
+        sem2.at[slot],
+    ).wait()
+    slab = slab2.at[slot]
+
+    @pl.when(step == 0)
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
+    Cout = g_ref.shape[1]
+    RHW = RH * W
     n_h_blocks = TH // RH
-    slabs = (slabR, slab, slabL)
+    wmod = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (Cout, RHW), 1), W)
     for d in range(TD):
         for hb in range(n_h_blocks):
             h0 = hb * RH
-            gv = g_ref[d, :, pl.ds(h0 * W, RH * W)]  # (Cout, RH·W)
+            gv = g_ref[d, :, pl.ds(h0 * W, RHW)].astype(jnp.float32)
+            # dw[·,·,kw] pairs x[w'] with g[w' - (kw-1)]: kw=0 needs
+            # g[w'+1] (roll left, zero where the source lane crosses the
+            # W boundary), kw=2 needs g[w'-1] (roll right). Exact SAME
+            # semantics — an out-of-range g index is a zero contribution.
+            gl = jnp.where(wmod == W - 1, 0.0, pltpu.roll(gv, RHW - 1, axis=1))
+            gr = jnp.where(wmod == 0, 0.0, pltpu.roll(gv, 1, axis=1))
+            gcat = jnp.concatenate([gl, gv, gr], axis=0).astype(g_ref.dtype)
             for kh in range(3):
-                for kw in range(3):
-                    xv = slabs[kw][
-                        pl.ds(d, 3), :, pl.ds((h0 + kh) * W, RH * W)
-                    ].reshape(3 * C, RH * W)
-                    dw_ref[kh * 3 + kw] += jax.lax.dot_general(
-                        xv, gv, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                xv = slab[
+                    pl.ds(d, 3), :, pl.ds((h0 + kh) * W, RHW)
+                ].reshape(3 * C, RHW)
+                dw_ref[kh] += jax.lax.dot_general(
+                    xv, gcat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def conv3x3_dchw_dw(xp: jnp.ndarray, g: jnp.ndarray, interpret: bool = False):
-    """Weight gradient for the v2 conv: (3, 3, 3, C, Cout) f32 from
+    """Weight gradient for the v2/v2m convs: (3, 3, 3, C, Cout) f32 from
     xp (D+2, C, H+2, W) and the folded output cotangent g (D, Cout, H, W)."""
     Dp, C, Hp, W = xp.shape
     D, H = Dp - 2, Hp - 2
     Cout = g.shape[1]
     TD, TH, RH = _pick_tiles_v2(D, H, C, W, xp.dtype.itemsize)
     nD, nH = D // TD, H // TH
+    n_steps = nD * nH
     kernel = partial(
-        _dw_kernel_v2, TD=TD, TH=TH, RH=RH, W=W, C=C, nD=nD, nH=nH
+        _dw_kernel_v2, TD=TD, TH=TH, RH=RH, W=W, C=C,
+        n_h_tiles=nH, n_steps=n_steps,
     )
     dw = pl.pallas_call(
         kernel,
-        grid=(nD, nH),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (TD, Cout, TH * W), lambda d, h: (d, 0, h), memory_space=pltpu.VMEM
+                (TD, Cout, TH * W),
+                lambda s, _nH=nH: (s // _nH, 0, s % _nH),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (9, 3 * C, Cout), lambda d, h: (0, 0, 0), memory_space=pltpu.VMEM
+            (3, 3 * C, 3 * Cout), lambda s: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((9, 3 * C, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, 3 * C, 3 * Cout), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
-            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
-            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp.reshape(Dp, C, Hp * W), g.reshape(D, Cout, H * W))
-    # rows of the (3C,) dim are kd-major/c-minor (slab depth leading):
-    # (kh·3+kw, kd·C+c, co) → (kd, kh, kw, c, co)
-    return dw.reshape(3, 3, 3, C, Cout).transpose(2, 0, 1, 3, 4)
+    # (kh, kd·C + c, kw·Cout + co) → (kd, kh, kw, c, co): the K rows are
+    # kd-major/c-minor (slab depth leading), the N columns kw-major.
+    return dw.reshape(3, 3, C, 3, Cout).transpose(1, 0, 3, 2, 4)
 
 
 def reference_conv3x3_dchw(xp, w):
@@ -593,26 +616,65 @@ conv3x3_dchw.defvjp(_cv2_fwd, _cv2_bwd)
 # slab copies entirely (the wrapped lane crosses an H row, but SAME padding
 # zeroes exactly that lane — same trick, applied post-GEMM). Occupancy at
 # level 0 triples to 96·96/128² = 56%; at level 1 (C=Cout=64) it goes
-# 37.5% → 56%. VMEM drops ~3× (one slab, no shift copies), so the tile
-# picker can afford (8, 32) tiles that cut the halo re-read factor from
-# 1.5× to 1.25×.
+# 37.5% → 56%.
+#
+# MEASURED PATH TO THE DEFAULT (v5e, 2026-08-20): the M-packing ALONE was
+# a tie — the kernel is memory-path-bound, not MXU-bound (a no-dot variant
+# measures 2.69 of the 3.44 ms level-0 total; the packed GEMMs add only
+# ~0.75 ms; full-model A/B at the chip-proven v2 tiles: 45.5 v2 vs 46.4
+# v2m ms). The decisive second step is DOUBLE-BUFFERED slab DMA, which
+# v2m's single slab makes VMEM-affordable (v2 would need six buffers):
+# the level-0 kernel drops 3.6 -> 1.80 ms (64.5 TF/s, token-carry
+# protocol) at the SAME safe (4, 16) tile — the serial slab wait, not
+# compute, dominated. Full-model A/B with both changes: fwd 128³ 42.4
+# (v2m) vs 45.6 (v2) ms, ROI-shape 151.6 vs 166.1, train step 174.8 vs
+# 180.9 -> fused_kernel defaults to "v2m". Larger (8, 16)/(8, 32) tiles
+# measured <=6% faster still, but Mosaic's scoped-vmem accounting rejects
+# them OPAQUELY at other block geometries (C=Cout=64: 2 MB over the 16 MB
+# limit; a static budget model could not predict which) — not chased.
 # ---------------------------------------------------------------------------
 
 
 def _conv_stats_kernel_v2m(
-    xp, wt_ref, o_ref, sum_ref, sq_ref, slab, sacc, qacc, sem,
-    *, TD, TH, RH, W, C,
+    xp, wt_ref, o_ref, sum_ref, sq_ref, slab2, sacc, qacc, sem2,
+    *, TD, TH, RH, W, C, n_h_tiles, n_steps,
 ):
-    d_tile = pl.program_id(0)
-    h_tile = pl.program_id(1)
+    # 1-D grid + DOUBLE-BUFFERED slab DMA (guide pattern): step s computes
+    # from the slab prefetched at step s-1 while issuing step s+1's copy
+    # into the other slot. Chip-measured decisive at level 0: the serial
+    # DMA-wait variant runs 3.6 ms, this one 1.80 ms (64.5 TF/s) at the
+    # same (4, 16) tile — the slab wait, not the MXU, was the kernel's
+    # dominant cost. v2m's single slab is what makes the second buffer
+    # VMEM-affordable (v2 would need six).
+    step = pl.program_id(0)
+    slot = jax.lax.rem(step, 2)
 
-    cp = pltpu.make_async_copy(
-        xp.at[pl.ds(d_tile * TD, TD + 2), :, pl.ds(h_tile * TH * W, (TH + 2) * W)],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    def issue(s, st):
+        dt = st // n_h_tiles
+        ht = st % n_h_tiles
+        return pltpu.make_async_copy(
+            xp.at[pl.ds(dt * TD, TD + 2), :, pl.ds(ht * TH * W, (TH + 2) * W)],
+            slab2.at[s],
+            sem2.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _first():
+        issue(0, 0).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch():
+        issue(1 - slot, step + 1).start()
+
+    # Wait for THIS step's slab (issued by the previous step, or just above
+    # for step 0). The wait decrements the slot's semaphore; the source
+    # window of the descriptor only sizes the transfer.
+    pltpu.make_async_copy(
+        xp.at[pl.ds(0, TD + 2), :, pl.ds(0, (TH + 2) * W)],
+        slab2.at[slot],
+        sem2.at[slot],
+    ).wait()
+    slab = slab2.at[slot]
 
     Cout = o_ref.shape[1]
     n_h_blocks = TH // RH
@@ -659,8 +721,8 @@ def _conv_stats_kernel_v2m(
             yf = yb.astype(jnp.float32)
             sacc[:] += yf
             qacc[:] += yf * yf
-    sum_ref[0, 0, 0] = jnp.sum(sacc[:], axis=1)
-    sq_ref[0, 0, 0] = jnp.sum(qacc[:], axis=1)
+    sum_ref[0, 0] = jnp.sum(sacc[:], axis=1)
+    sq_ref[0, 0] = jnp.sum(qacc[:], axis=1)
 
 
 def _pick_tiles_v2m(D: int, H: int, C: int, W: int, itemsize: int):
@@ -693,43 +755,49 @@ def _conv3x3_dchw_m_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = Fals
     # single transpose+reshape matches the kernel's row-block slicing.
     wt = w.transpose(1, 2, 4, 0, 3).reshape(3, 3 * Cout, 3 * C).astype(xp.dtype)
     xflat = xp.reshape(Dp, C, Hp * W)
-    kernel = partial(_conv_stats_kernel_v2m, TD=TD, TH=TH, RH=RH, W=W, C=C)
     nD, nH = D // TD, H // TH
+    n_steps = nD * nH
+    kernel = partial(
+        _conv_stats_kernel_v2m, TD=TD, TH=TH, RH=RH, W=W, C=C,
+        n_h_tiles=nH, n_steps=n_steps,
+    )
     y, sums, sqs = pl.pallas_call(
         kernel,
-        grid=(nD, nH),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (TD, Cout, TH * W), lambda d, h: (d, 0, h), memory_space=pltpu.VMEM
+                (TD, Cout, TH * W),
+                lambda s, _nH=nH: (s // _nH, 0, s % _nH),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 1, Cout), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, Cout), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, 1, Cout), lambda d, h: (d, h, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, Cout), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, Cout, H * W), xp.dtype),
-            jax.ShapeDtypeStruct((nD, nH, 1, Cout), jnp.float32),
-            jax.ShapeDtypeStruct((nD, nH, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 1, Cout), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TD + 2, C, (TH + 2) * W), xp.dtype),
+            pltpu.VMEM((2, TD + 2, C, (TH + 2) * W), xp.dtype),
             pltpu.VMEM((Cout, RH * W), jnp.float32),
             pltpu.VMEM((Cout, RH * W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xflat, wt)
     return (
         y.reshape(D, Cout, H, W),
-        sums.sum(axis=(0, 1, 2)),
-        sqs.sum(axis=(0, 1, 2)),
+        sums.sum(axis=(0, 1)),
+        sqs.sum(axis=(0, 1)),
     )
 
 

@@ -188,6 +188,20 @@ def main():
         bench_dw("dw_l1", 64, 64, 64, 64, 64),
     ]
     out = {"device": str(dev), "rows": rows,
+           "v2m_decision": (
+               "v2m (M-packed kw taps, 3x MXU PE occupancy at level 0) "
+               "measured 37.7 vs 34.6 TF/s against v2 at level-0 under a "
+               "token-carry protocol with the (8,32) tile — but the kernel "
+               "is memory-path-bound (no-dot variant: 2.69 of 3.44 ms; "
+               "packed GEMMs add only ~0.75 ms), the (8,32)/(8,16) tiles "
+               "fail Mosaic scoped-vmem OPAQUELY at non-level-0 block "
+               "geometries (C=Cout=64: +2 MB over the 16 MB limit), and at "
+               "the chip-proven v2 tiles the full-model A/B is a tie "
+               "(fwd 128^3 45.5 v2 / 46.4 v2m ms; ROI 165.5/163.7; train "
+               "step 181.3/180.6 ms). Default stays v2; v2m remains "
+               "selectable (ModelConfig.fused_kernel='v2m') with parity "
+               "tests. Measured 2026-08-20."
+           ),
            "protocol": ("scanned_ms: device-resident lax.scan chain, 30 "
                         "iters, min of 3; bf16. Host-dispatch chains "
                         "(chained_ms) floor at ~1 ms/call and OVERSTATE "
