@@ -189,18 +189,19 @@ def main():
     ]
     out = {"device": str(dev), "rows": rows,
            "v2m_decision": (
-               "v2m (M-packed kw taps, 3x MXU PE occupancy at level 0) "
-               "measured 37.7 vs 34.6 TF/s against v2 at level-0 under a "
-               "token-carry protocol with the (8,32) tile — but the kernel "
-               "is memory-path-bound (no-dot variant: 2.69 of 3.44 ms; "
-               "packed GEMMs add only ~0.75 ms), the (8,32)/(8,16) tiles "
-               "fail Mosaic scoped-vmem OPAQUELY at non-level-0 block "
-               "geometries (C=Cout=64: +2 MB over the 16 MB limit), and at "
-               "the chip-proven v2 tiles the full-model A/B is a tie "
-               "(fwd 128^3 45.5 v2 / 46.4 v2m ms; ROI 165.5/163.7; train "
-               "step 181.3/180.6 ms). Default stays v2; v2m remains "
-               "selectable (ModelConfig.fused_kernel='v2m') with parity "
-               "tests. Measured 2026-08-20."
+               "v2m (M-packed kw taps + double-buffered slab DMA) is the "
+               "DEFAULT since 2026-08-20. The M-packing alone was a tie — "
+               "the kernel is memory-path-bound (no-dot variant: 2.69 of "
+               "3.44 ms at level 0; GEMMs add ~0.75 ms) — but double "
+               "buffering the single slab (affordable only in v2m; v2 "
+               "needs three shifted slabs) dropped the level-0 kernel "
+               "3.6 -> 1.80 ms (64.5 TF/s token-carry protocol vs v2 "
+               "3.35 ms / 34.6). Full-model A/B: fwd 128^3 42.4 (v2m) vs "
+               "45.6 (v2) ms, ROI 151.6 vs 166.1, train step 174.8 vs "
+               "180.9. NOTE the scan rows below carry ~1.7 ms/iter of "
+               "shape-preserving re-pad glue (measured via a pad-only "
+               "chain), so fused-row TF/s are UNDERestimates; the glue is "
+               "kept for protocol comparability across rounds."
            ),
            "protocol": ("scanned_ms: device-resident lax.scan chain, 30 "
                         "iters, min of 3; bf16. Host-dispatch chains "
