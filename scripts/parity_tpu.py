@@ -100,6 +100,39 @@ def main() -> int:
         "pass": bool(dw_err < 1e-3),
     }
 
+    # 1c. v2m kernel (the production default since round 4: M-packed taps +
+    # double-buffered slab DMA) at BOTH lane gates, compiled on the chip.
+    from runet_tpu.kernels.fused_block import conv3x3_dchw_m
+
+    for tag, (Dm, Cm, Hm, Coutm, Wm) in {
+        "w128": (16, 32, 16, 32, 128),
+        "w64": (16, 32, 16, 32, 64),
+    }.items():
+        xpm = np.zeros((Dm + 2, Cm, Hm + 2, Wm), np.float32)
+        xpm[1:-1, :, 1:-1] = rng.normal(size=(Dm, Cm, Hm, Wm))
+        wm = (rng.normal(size=(3, 3, 3, Cm, Coutm)) * 0.1).astype(np.float32)
+        ym, sm, qm = conv3x3_dchw_m(jnp.asarray(xpm, jnp.bfloat16), jnp.asarray(wm))
+        ymr, _smr, _qmr = reference_conv3x3_dchw(
+            jnp.asarray(xpm, jnp.bfloat16), jnp.asarray(wm)
+        )
+        ym_err = float(jnp.max(jnp.abs(ym.astype(jnp.float32) - ymr.astype(jnp.float32))))
+        # Stats contract: sums/sqs are Σy / Σy² of the RETURNED output.
+        # Compare against XLA reductions of ym itself — comparing against
+        # the reference's stats would conflate the kernels' (legitimate,
+        # ulp-scale) bf16 accumulation-order differences with stats bugs.
+        yf = ym.astype(jnp.float32)
+        s_own = jnp.sum(yf, axis=(0, 2, 3))
+        q_own = jnp.sum(yf * yf, axis=(0, 2, 3))
+        sm_err = float(jnp.max(jnp.abs(sm - s_own) / (jnp.abs(s_own) + 1.0)))
+        qm_err = float(jnp.max(jnp.abs(qm - q_own) / (jnp.abs(q_own) + 1.0)))
+        results["checks"][f"conv3x3_dchw_m_{tag}_bf16"] = {
+            "geometry": [Dm, Cm, Hm, Coutm, Wm],
+            "max_abs_y_err": ym_err,
+            "max_rel_sum_err_vs_own_output": sm_err,
+            "max_rel_sq_err_vs_own_output": qm_err,
+            "pass": bool(ym_err < 0.125 and sm_err < 1e-4 and qm_err < 1e-4),
+        }
+
     # 2. Model-level: fused blocks ON vs OFF, same params, compiled on TPU.
     import dataclasses
 
