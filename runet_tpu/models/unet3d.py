@@ -39,12 +39,15 @@ class ConvNormAct(nn.Module):
     fused_kernel: str = "v2"
 
     @nn.compact
-    def __call__(self, x, layout: str = "ndhwc"):
-        """layout="ndhwc": (B, D, H, W, C) via XLA. layout="dchw" (v2,
-        production) / "dhcw" (v1, kept for A/B): fused layout-persistent
-        Pallas conv+stats kernels (kernels/fused_block.py) — callers
-        (EncoderBlock/DecoderBlock) transpose once per block. All paths
-        share the same parameter tree (checkpoint-stable)."""
+    def __call__(self, x, layout: str = "ndhwc", fused: bool = False):
+        """layout="dchw" (production): (B, D, C, H, W) — the layout that
+        PERSISTS across the whole network (UNet3D transposes once at entry
+        and once at exit). ``fused=True`` routes through the Pallas
+        conv+IN-stats kernel; ``fused=False`` runs an XLA conv with NDCHW
+        dimension_numbers (chip-measured at parity with NDHWC convs —
+        XLA's internal layout assignment absorbs the difference).
+        layout="dhcw": v1 A/B kernel. layout="ndhwc": legacy XLA path.
+        All paths share the same parameter tree (checkpoint-stable)."""
         # The kernel param is owned here (not by nn.Conv) so the XLA and
         # Pallas paths share one checkpoint-stable parameter.
         cin = {"ndhwc": x.shape[-1], "dhcw": x.shape[-2], "dchw": x.shape[-3]}[layout]
@@ -54,7 +57,7 @@ class ConvNormAct(nn.Module):
             (3, 3, 3, cin, self.features),
             self.param_dtype,
         )
-        if layout in ("dhcw", "dchw"):
+        if layout == "dhcw" or (layout == "dchw" and fused):
             from runet_tpu.kernels.fused_block import (
                 conv_in_stats_dchw_batch,
                 conv_in_stats_dhcw_batch,
@@ -77,6 +80,7 @@ class ConvNormAct(nn.Module):
               channel_axis=-2 if layout == "dhcw" else -3)
             return nn.leaky_relu(y, self.negative_slope)
         x = x.astype(self.dtype)
+        dn = "NDCHW" if layout == "dchw" else "NDHWC"
         # No preferred_element_type: the MXU accumulates bf16 matmuls in
         # f32 regardless, and a f32 output here makes the autodiff
         # transpose-conv see mismatched (f32 cotangent, bf16 kernel).
@@ -85,34 +89,41 @@ class ConvNormAct(nn.Module):
             kernel.astype(self.dtype),
             window_strides=self.strides,
             padding="SAME",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            dimension_numbers=(dn, "DHWIO", dn),
         )
         x = InstanceNorm(
             eps=self.norm_eps,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
-        )(x)
+        )(x, channel_axis=-3 if layout == "dchw" else -1)
         return nn.leaky_relu(x, self.negative_slope)
 
 
-def _fused_pair(cna0, cna1, x, version: str = "v2"):
-    """Run one or two stride-1 ConvNormActs in the layout-persistent fused
-    path: ONE layout transpose at entry and one back at exit, amortized over
-    the convs between them (the round-1 per-conv-transpose loss,
-    kernels/attic/conv3d.py docstring, is exactly what this avoids).
-    v2/v2m = (B, D, C, H, W) tap-GEMM kernels; v1 = (B, D, H, C, W)."""
-    if version in ("v2", "v2m"):
-        x = jnp.transpose(x, (0, 1, 4, 2, 3))  # NDHWC → (B, D, C, H, W)
+def _pair_dchw(cna0, cna1, x, features: int, fused_on: bool, version: str):
+    """Run one or two stride-1 ConvNormActs on a (B, D, C, H, W) activation.
+
+    The layout persists across the WHOLE network (round-4 rework; UNet3D
+    transposes once at entry/exit — the per-block NDHWC↔DCHW transposes
+    this replaces measured ~0.75 ms each at 128³ level-0, ~6 ms of a
+    46.9 ms forward). Fused applicability is gated here on the
+    NDHWC-equivalent shape; the v1 A/B kernel wants (B, D, H, C, W) and
+    pays local transposes (it is not the production path)."""
+    from runet_tpu.kernels.fused_block import fused_block_applicable
+
+    B, D, C, H, W = x.shape
+    fused_ok = fused_on and fused_block_applicable(
+        (B, D, H, W, C), features, version
+    )
+    if fused_ok and version == "v1":
+        x = jnp.transpose(x, (0, 1, 3, 2, 4))  # DCHW → (B, D, H, C, W)
         if cna0 is not None:
-            x = cna0(x, layout="dchw")
-        x = cna1(x, layout="dchw")
-        return jnp.transpose(x, (0, 1, 3, 4, 2))
-    x = jnp.swapaxes(x, 3, 4)  # (B, D, H, W, C) → (B, D, H, C, W)
+            x = cna0(x, layout="dhcw")
+        x = cna1(x, layout="dhcw")
+        return jnp.transpose(x, (0, 1, 3, 2, 4))
     if cna0 is not None:
-        x = cna0(x, layout="dhcw")
-    x = cna1(x, layout="dhcw")
-    return jnp.swapaxes(x, 3, 4)
+        x = cna0(x, layout="dchw", fused=fused_ok)
+    return cna1(x, layout="dchw", fused=fused_ok)
 
 
 class EncoderBlock(nn.Module):
@@ -128,9 +139,7 @@ class EncoderBlock(nn.Module):
     fused_kernel: str = "v2"
 
     @nn.compact
-    def __call__(self, x):
-        from runet_tpu.kernels.fused_block import fused_block_applicable
-
+    def __call__(self, x):  # x: (B, D, C, H, W)
         stride = (2, 2, 2) if self.downsample else (1, 1, 1)
         kw = dict(
             negative_slope=self.negative_slope,
@@ -143,19 +152,11 @@ class EncoderBlock(nn.Module):
         cna0 = ConvNormAct(self.features, strides=stride, **kw)
         cna1 = ConvNormAct(self.features, **kw)
         if self.downsample:
-            x = cna0(x)  # strided: XLA
-            if self.fused_blocks and fused_block_applicable(
-                x.shape, self.features, self.fused_kernel
-            ):
-                return _fused_pair(None, cna1, x, self.fused_kernel)
-            return cna1(x)
-        if self.fused_blocks and fused_block_applicable(
-            x.shape, self.features, self.fused_kernel
-        ):
-            return _fused_pair(cna0, cna1, x, self.fused_kernel)
-        x = cna0(x)
-        x = cna1(x)
-        return x
+            x = cna0(x, layout="dchw")  # strided: XLA NDCHW conv
+            return _pair_dchw(None, cna1, x, self.features,
+                              self.fused_blocks, self.fused_kernel)
+        return _pair_dchw(cna0, cna1, x, self.features,
+                          self.fused_blocks, self.fused_kernel)
 
 
 def depth_to_space_3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
@@ -165,6 +166,44 @@ def depth_to_space_3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     x = x.reshape(B, D, H, W, r, r, r, F)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(B, D * r, H * r, W * r, F)
+
+
+def depth_to_space_dchw(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, D, r³·F, H, W) -> (B, rD, F, rH, rW) — same channel→sub-voxel
+    assignment as ``depth_to_space_3d`` (c = ((rd·r + rh)·r + rw)·F + f),
+    so the projection weights are layout-independent."""
+    B, D, C, H, W = x.shape
+    F = C // (r * r * r)
+    x = x.reshape(B, D, r, r, r, F, H, W)
+    x = x.transpose(0, 1, 2, 5, 6, 3, 7, 4)  # (B, D, rd, F, H, rh, W, rw)
+    return x.reshape(B, D * r, F, H * r, W * r)
+
+
+class _PixelShuffleProj(nn.Module):
+    """1×1×1 projection to r³·F channels on a (B, D, C, H, W) activation —
+    the linear half of the pixelshuffle upsample, as a contraction over the
+    channel axis. Param name/shape ("kernel", (1, 1, 1, C, out)) replicate
+    the nn.Conv this replaces (named "Conv_0" by the caller), so existing
+    checkpoints load unchanged."""
+
+    features_out: int
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x):  # (B, D, C, H, W) -> (B, D, features_out, H, W)
+        C = x.shape[2]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            (1, 1, 1, C, self.features_out),
+            self.param_dtype,
+        )
+        return jnp.einsum(
+            "bdchw,cf->bdfhw",
+            x.astype(self.dtype),
+            k.reshape(C, self.features_out).astype(self.dtype),
+        )
 
 
 class DecoderBlock(nn.Module):
@@ -179,21 +218,22 @@ class DecoderBlock(nn.Module):
     fused_kernel: str = "v2"
 
     @nn.compact
-    def __call__(self, x, skip):
+    def __call__(self, x, skip):  # both (B, D, C, H, W)
         if self.upsample_mode == "pixelshuffle":
             # Equivalent linear family to ConvTranspose(k=2, s=2): each
             # output voxel is a linear map of exactly one input voxel. As a
-            # 1x1x1 conv the contraction has 8F output channels — a dense
-            # GEMM that fills the MXU lanes (F=32 alone uses 32/128).
-            x = nn.Conv(
-                self.features * 8,
-                kernel_size=(1, 1, 1),
-                use_bias=False,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
+            # channel contraction the GEMM has 8F output channels — dense,
+            # fills the MXU lanes (F=32 alone uses 32/128). name="Conv_0"
+            # pins the param path of the nn.Conv this replaced.
+            x = _PixelShuffleProj(
+                self.features * 8, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="Conv_0",
             )(x)
-            x = depth_to_space_3d(x, 2)
+            x = depth_to_space_dchw(x, 2)
         else:
+            # Legacy A/B mode: flax ConvTranspose wants NDHWC — local
+            # transposes, paid only when explicitly selected.
+            x = jnp.transpose(x, (0, 1, 3, 4, 2))
             x = nn.ConvTranspose(
                 self.features,
                 kernel_size=(2, 2, 2),
@@ -202,7 +242,8 @@ class DecoderBlock(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(x)
-        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = jnp.transpose(x, (0, 1, 4, 2, 3))
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=2)
         kw = dict(
             negative_slope=self.negative_slope,
             norm_eps=self.norm_eps,
@@ -213,15 +254,8 @@ class DecoderBlock(nn.Module):
         )
         cna0 = ConvNormAct(self.features, **kw)
         cna1 = ConvNormAct(self.features, **kw)
-        from runet_tpu.kernels.fused_block import fused_block_applicable
-
-        if self.fused_blocks and fused_block_applicable(
-            x.shape, self.features, self.fused_kernel
-        ):
-            return _fused_pair(cna0, cna1, x, self.fused_kernel)
-        x = cna0(x)
-        x = cna1(x)
-        return x
+        return _pair_dchw(cna0, cna1, x, self.features,
+                          self.fused_blocks, self.fused_kernel)
 
 
 def level_features(cfg: ModelConfig) -> Sequence[int]:
@@ -238,8 +272,12 @@ class _Head(nn.Module):
     param_dtype: object
 
     @nn.compact
-    def __call__(self, x):  # (B, D, H, W, C) -> (B, D, H, W, K)
-        B, D, H, W, C = x.shape
+    def __call__(self, x, layout: str = "ndhwc"):
+        """(B, D, H, W, C) -> (B, D, H, W, K); layout="dchw" takes
+        (B, D, C, H, W) and contracts the channel axis in place, returning
+        NDHWC logits — the K-channel transpose (K = 2-5 classes) costs a
+        small fraction of transposing the C-channel activation."""
+        C = x.shape[2] if layout == "dchw" else x.shape[-1]
         k = self.param(
             "kernel",
             nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
@@ -249,8 +287,13 @@ class _Head(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros, (self.num_classes,), self.param_dtype
         )
+        kmat = k.reshape(C, self.num_classes).astype(jnp.float32)
+        if layout == "dchw":
+            y = jnp.einsum("bdchw,ck->bdhwk", x.astype(jnp.float32), kmat)
+            return y + b.astype(jnp.float32)
+        B, D, H, W, _ = x.shape
         xf = x.reshape(B * D * H * W, C).astype(jnp.float32)
-        y = xf @ k.reshape(C, self.num_classes).astype(jnp.float32)
+        y = xf @ kmat
         y = y + b.astype(jnp.float32)
         return y.reshape(B, D, H, W, self.num_classes)
 
@@ -300,6 +343,13 @@ class UNet3D(nn.Module):
             dec_cls = nn.remat(DecoderBlock)
 
         x = x.astype(dtype)
+        # The (B, D, C, H, W) layout persists across the WHOLE network —
+        # one transpose here (C_in is 1-2 channels, trivially cheap) and
+        # one K-channel transpose inside the head, instead of a pair of
+        # full-width transposes around every fused block (~0.75 ms each at
+        # 128³ level 0). XLA convs run with NDCHW dimension_numbers at
+        # measured parity with NDHWC.
+        x = jnp.transpose(x, (0, 1, 4, 2, 3))
         skips = []
         # Explicit names keep param paths stable across the remat toggle
         # (nn.remat renames the class, which would rename default paths and
@@ -315,7 +365,11 @@ class UNet3D(nn.Module):
                 feats[lvl], upsample_mode=cfg.upsample_mode, name=f"dec{lvl}", **kw
             )(x, skips[lvl])
             if cfg.deep_supervision and 1 <= lvl <= 2:
-                aux.append(_Head(cfg.num_classes, param_dtype, name=f"ds{lvl}")(x))
+                aux.append(
+                    _Head(cfg.num_classes, param_dtype, name=f"ds{lvl}")(
+                        x, layout="dchw"
+                    )
+                )
 
         # 1×1×1 head as an explicit flattened GEMM. With fused blocks in the
         # graph, a (D,H,W)-shaped 1×1 conv inherits whatever exotic layout
@@ -327,7 +381,7 @@ class UNet3D(nn.Module):
         # canonical GEMM boundary and avoids conv emitters entirely. The
         # param module/name/shapes replicate the previous
         # nn.Conv(name="Conv_0") exactly, so checkpoints are stable.
-        logits = _Head(cfg.num_classes, param_dtype, name="Conv_0")(x)
+        logits = _Head(cfg.num_classes, param_dtype, name="Conv_0")(x, layout="dchw")
         if deep_outputs and cfg.deep_supervision:
             # aux was appended deepest-first; reorder to [level1, level2]
             # (stride 2**level) for the loss weighting.
