@@ -114,7 +114,9 @@ def ensure_train_data() -> Path:
 
 # Bump when training NUMERICS change in code the config can't see
 # (loss, augmentation, init, sampler) — invalidates cached bench params.
-NUMERICS_REV = 1
+# rev 2: whole-network DCHW layout persistence (conv layouts shift bf16
+# rounding at ulp scale; retrained for a clean provenance chain).
+NUMERICS_REV = 2
 
 # ALLOWLIST of config fields that shape what brief training produces
 # (VERDICT r3 weak #1: the old denylist hashed everything and popped fields
