@@ -59,3 +59,17 @@ def test_unet_both_upsample_modes_run():
         params = init_params(model, jax.random.key(0), (8, 8, 8))
         out = model.apply({"params": params}, jnp.ones((1, 8, 8, 8, 1)))
         assert out.shape == (1, 8, 8, 8, 2)
+
+
+def test_depth_to_space_dchw_matches_ndhwc():
+    """The DCHW-layout rearrange (whole-net layout persistence) must use the
+    SAME channel->sub-voxel assignment as the NDHWC version, or pixelshuffle
+    checkpoints would decode garbage after the round-4 layout rework."""
+    from runet_tpu.models.unet3d import depth_to_space_dchw
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 4, 5, 16)).astype(np.float32)  # NDHWC, C=2^3*2
+    want = np.asarray(depth_to_space_3d(jnp.asarray(x), 2))
+    x_dchw = jnp.asarray(x.transpose(0, 1, 4, 2, 3))
+    got = np.asarray(depth_to_space_dchw(x_dchw, 2))
+    np.testing.assert_array_equal(got.transpose(0, 1, 3, 4, 2), want)
