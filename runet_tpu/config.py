@@ -186,10 +186,13 @@ class CascadeConfig:
     # fresh compile is ~30-60 s) at padded-voxel overhead. 32 measured best:
     # vs 64 it cut ~17% of padded ROI voxels on KiTS-sized kidneys.
     roi_bucket: int = 32
-    # Last (lane) axis bucket: 128 keeps W%128==0 so the fused Pallas blocks
-    # stay applicable — a 32-bucketed z (e.g. 240) would disable them and
-    # lose more to the slower per-voxel path than the padding costs.
-    roi_bucket_z: int = 128
+    # Last (lane) axis bucket: 64 keeps W%64==0 so the fused Pallas blocks
+    # stay applicable (the v2/v2m half-vreg lane gate) — a 32-bucketed z
+    # (e.g. 240) would disable them and lose more to the slower per-voxel
+    # path than the padding costs. Was 128 before the W%64 gate landed: a
+    # real-data kidney with ~190 fine z voxels then padded to 256 instead
+    # of 192 — 25% of the fine stage for nothing.
+    roi_bucket_z: int = 64
     # Native-crop extent bucket: the ROI program's input shape is the crop
     # grown to cover the bucketed fine grid, which depends on the CASE's
     # native spacing (continuous on real data). Rounding it up to multiples

@@ -212,8 +212,9 @@ def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tu
     """Round dims up to bucket multiples (static-shape recompile guard).
 
     The last (lane) axis gets a cost-based choice when ``bucket_z`` is set:
-    pad z to a multiple of ``bucket_z`` (=128 → W%128==0 keeps the fused
-    Pallas blocks applicable, worth ~1.45× per voxel) unless the tighter
+    pad z to a multiple of ``bucket_z`` (=64 → W%64==0 keeps the fused
+    Pallas blocks applicable — the v2/v2m half-vreg gate,
+    kernels/fused_block.py — worth ~1.45× per voxel) unless the tighter
     ``bucket`` rounding wins even at the slower per-voxel rate.
     """
     x, y, z = (int(s) for s in size)
@@ -223,7 +224,7 @@ def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tu
     else:
         z_tight = up(z, bucket)
         z_lane = up(z, bucket_z)
-        fused_ok = z_lane % 128 == 0
+        fused_ok = z_lane % 64 == 0
         zb = (
             z_lane
             if fused_ok and z_lane <= z_tight * _XLA_OVER_FUSED

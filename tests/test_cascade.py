@@ -152,16 +152,20 @@ def test_predict_cases_pipelined_matches_sequential():
 
 
 def test_bucket_up_lane_axis_cost_rule():
-    """z pads to a 128-lane multiple only when that beats the tighter bucket
-    at the measured XLA/fused per-voxel ratio (infer/cascade.py)."""
+    """z pads to a fused-gate (W%64) lane multiple only when that beats the
+    tighter bucket at the measured XLA/fused per-voxel ratio
+    (infer/cascade.py)."""
     from runet_tpu.infer.cascade import _bucket_up
 
-    assert _bucket_up(np.array([167, 151, 240]), 32, 128) == (192, 160, 256)
-    assert _bucket_up(np.array([167, 151, 75]), 32, 128) == (192, 160, 128)
-    # 160-tight loses less than padding to 256 at 1.45x per-voxel.
+    # 64-mult z keeps fused ON at much tighter padding than the old 128
+    # rule (190 -> 192, not 256).
+    assert _bucket_up(np.array([167, 151, 190]), 32, 64) == (192, 160, 192)
+    assert _bucket_up(np.array([167, 151, 240]), 32, 64) == (192, 160, 256)
+    assert _bucket_up(np.array([167, 151, 75]), 32, 64) == (192, 160, 128)
+    # Legacy 128 rule still expressible via config.
     assert _bucket_up(np.array([167, 151, 130]), 32, 128) == (192, 160, 160)
     # Tiny volumes never inflate to the lane multiple.
-    assert _bucket_up(np.array([40, 40, 30]), 16, 128) == (48, 48, 32)
+    assert _bucket_up(np.array([40, 40, 30]), 16, 64) == (48, 48, 32)
     # No bucket_z: plain uniform bucketing.
     assert _bucket_up(np.array([167, 151, 240]), 64) == (192, 192, 256)
 
