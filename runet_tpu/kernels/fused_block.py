@@ -6,9 +6,10 @@ Round-1 postmortem (kernels/conv3d.py): the im2col Pallas conv beat XLA
 1.37× isolated but lost end-to-end because every conv paid NDHWC↔(C,W-minor)
 transposes plus three W-shifted HBM copies. This module is the designed fix:
 
-- **(D, H, C, W) layout persists across a whole (Conv→IN→lrelu)×2 block** —
-  the NDHWC transpose happens once at block entry/exit (models/unet3d.py),
-  amortized over both convs.
+- **Layout persistence** — originally (D, H, C, W) per block (v1); the
+  production path now keeps (B, D, C, H, W) across the WHOLE network
+  (models/unet3d.py round-4 rework), so the kernels see their native
+  layout with no per-block transposes at all.
 - **Single input slab, W-shifts in VMEM**: instead of three W-shifted HBM
   copies (3× input DMA traffic), each program DMAs ONE (TD+2, TH+2, C, W)
   slab and builds the kw=0/2 taps with ``pltpu.roll`` + edge masking — the

@@ -6,8 +6,13 @@ Architecture contract (reference form was a torch.nn.Module — provenance
 upsampling by transpose conv, skip concatenation, 1×1×1 head → class logits.
 
 TPU-first choices:
-- NDHWC layout: channels ride the 128-wide lane dimension; XLA maps the 3D
-  convs onto the MXU as implicit GEMMs.
+- Public contract is NDHWC in / NDHWC logits out, but INTERNALLY the
+  (B, D, C, H, W) layout persists across the whole network (round-4
+  rework): W rides the 128-wide lanes for the fused Pallas blocks, XLA
+  convs use NDCHW dimension_numbers (chip-measured at parity with NDHWC),
+  and the only full-width transposes are one tiny C_in transpose at entry
+  and a K-channel einsum head at exit — the per-block NDHWC↔DCHW
+  transposes this replaced measured ~0.75 ms each at 128³ level 0.
 - bf16 compute / f32 params; the logits head and all norm statistics are f32.
 - Channel widths doubled per level and capped (nnU-Net-style), all multiples
   of 8 to keep MXU tiles full.
