@@ -208,13 +208,17 @@ class CascadeConfig:
     # Falls back to 16-bucketed true shape if a case exceeds it.
     coarse_canonical: tuple[int, int, int] = (128, 128, 128)
     max_components: int = 2  # keep <=2 largest kidney CCs
-    # Same-bucket single-pass ROIs dispatched as ONE B-batched program.
-    # Measured (ROI_OVERLAP.json, v5e): the fine forward at the modal 128³
-    # kidney bucket is not batch-saturated — B=2 runs 75.3 ms vs 2×51.1,
-    # ~27 ms/case at the typical two-kidneys-per-case load. Leftover singles
-    # always use the B=1 program, so compile classes stay bounded by the
-    # bucket set (+1 batched class per bucket actually seen at B).
-    roi_batch: int = 2
+    # Same-bucket single-pass ROIs dispatched as ONE B-batched program
+    # when > 1. History: B=2 measured 26% cheaper per ROI in round 3
+    # (ROI_OVERLAP.json) and shipped as the default; after the round-4
+    # kernel/layout work the batched program INVERTED into a regression —
+    # ROI_PIECES.json 2026-08-20: fwd_argmax B=2 359.6 ms vs 2×128.1 for
+    # two B=1 passes at the identical (192,160,256) bucket, and the
+    # two-kidney phantom case runs 445 ms of ROI exec unbatched vs 518
+    # batched (XLA's padded layout choice for batched 3D convs, the same
+    # effect InferConfig.window_batch documents). Default back to 1; the
+    # staging machinery stays for future A/B.
+    roi_batch: int = 1
     # Hard cap on ROI physical extent per axis: a kidney+tumor fits well
     # inside 192 mm; this bounds fine-stage cost even if the coarse mask
     # degenerates (e.g. early in training).
