@@ -125,7 +125,7 @@ NUMERICS_REV = 2
 # transfer_quant4 killed the r3 driver artifact). A field NOT listed here
 # can never invalidate trained params; when adding a field that genuinely
 # changes training numerics, add it here AND expect the goldens in
-# tests/test_bench_fingerprint.py to move.
+# tests/test_bench_params.py to move.
 #
 # Deliberately excluded: ModelConfig.remat (recompute, numerically
 # identical), ModelConfig.spatial_axis + every InferConfig/CascadeConfig

@@ -192,6 +192,10 @@ class CascadeConfig:
     # path than the padding costs. Was 128 before the W%64 gate landed: a
     # real-data kidney with ~190 fine z voxels then padded to 256 instead
     # of 192 — 25% of the fine stage for nothing.
+    # COUPLING: 64 assumes the v2/v2m W%64 fused gate. If the fine model
+    # runs fused_kernel="v1" (kept for A/B only), the gate is W%128 — set
+    # this to 128 there, else the bucket pays lane padding while the fused
+    # path it buys stays disabled.
     roi_bucket_z: int = 64
     # Native-crop extent bucket: the ROI program's input shape is the crop
     # grown to cover the bucketed fine grid, which depends on the CASE's

@@ -396,6 +396,14 @@ def predict_case(
     n_sp = np.asarray(native_spacing, np.float64)
     c_sp = np.asarray(coarse.preprocess.spacing, np.float64)
     f_sp = np.asarray(fine.preprocess.spacing, np.float64)
+    if getattr(fine.preprocess, "transfer_quant4", False):
+        # The ROI programs apply only the 8-bit _dequant; a 4-bit-packed
+        # (nibble, z-halved) crop would silently decode as garbage. quant4
+        # is a coarse-stage-only transfer format (shipped presets agree).
+        raise ValueError(
+            "transfer_quant4 is not supported on the fine/ROI path; "
+            "set it only on the coarse preset's PreprocessConfig"
+        )
 
     # ---- coarse localization ----
     # Host-side integer striding before upload: localization tolerates the

@@ -589,3 +589,24 @@ def test_warmup_roi_buckets_warms_serving_dtype_class(monkeypatch):
         "warmup minted new compile classes (dtype/shape mismatch vs serving)",
         n_before, orig._cache_size(), stats,
     )
+
+
+def test_fine_quant4_rejected():
+    # ADVICE r4: _roi_program applies only 8-bit dequant — a 4-bit-packed
+    # fine preset would silently feed nibble-packed garbage. Must hard-fail.
+    img, _ = _make_label_image()
+    pp = PreprocessConfig(
+        spacing=(1.0, 1.0, 1.0), hu_window=(0.0, 100.0), hu_stats=(0.0, 1.0),
+        transfer_quant=True, transfer_quant4=True,
+    )
+    coarse = ModelBundle(
+        apply_fn=_binary_oracle(), params={}, num_classes=2,
+        preprocess=_identity_pp((2.0, 2.0, 2.0)),
+        infer=InferConfig(patch_size=(16, 16, 16)),
+    )
+    fine = ModelBundle(
+        apply_fn=_class_oracle(3), params={}, num_classes=3,
+        preprocess=pp, infer=InferConfig(patch_size=(16, 16, 16)),
+    )
+    with pytest.raises(ValueError, match="transfer_quant4"):
+        predict_case(coarse, fine, img, (1.0, 1.0, 1.5))
