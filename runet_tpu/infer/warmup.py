@@ -97,7 +97,7 @@ def warmup_roi_buckets(
     workers: int = 2,
     cascade: CascadeConfig = CascadeConfig(),
 ) -> dict[str, float]:
-    """Dispatch the fused ROI program for explicit fine buckets on dummy
+    """Dispatch the ROI program chain for explicit fine buckets on dummy
     input — for deployments that know their bucket set up front. The
     spacing-derived scales are traced program INPUTS (cascade.py), so one
     warm spacing covers every native spacing that lands in the same

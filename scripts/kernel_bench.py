@@ -169,6 +169,40 @@ def bench_dw(name, D, H, W, C, Cout, dtype=jnp.bfloat16, iters=30):
     return row
 
 
+def bench_model_fwd(iters: int = 20) -> dict:
+    """Full fine-model forward at 128³, fused Pallas blocks ON vs OFF.
+
+    Feeds `infer/cascade.py::_xla_over_fused()` — the per-voxel padding
+    tiebreaker in `_bucket_up` — so the bucket cost model tracks the kernel
+    class automatically instead of going stale on a baked constant
+    (VERDICT r4 weak #5). Host-loop timing: at ~40 ms/call the ~1 ms
+    dispatch floor is noise."""
+    import dataclasses
+    import time
+
+    from runet_tpu.config import get_config
+    from runet_tpu.models.unet3d import create_model, init_params
+
+    cfg = get_config("fine_kits")
+    res = {}
+    for fused, key in ((True, "fused_ms"), (False, "xla_ms")):
+        mcfg = dataclasses.replace(cfg.model, fused_blocks=fused)
+        model = create_model(mcfg)
+        params = init_params(model, jax.random.key(0), (128, 128, 128))
+        fwd = jax.jit(lambda p, x, m=model: m.apply({"params": p}, x))
+        x = jnp.zeros((1, 128, 128, 128, mcfg.in_channels), jnp.bfloat16)
+        jax.block_until_ready(fwd(params, x))  # compile + first exec
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(params, x))
+            times.append((time.perf_counter() - t0) * 1000)
+        res[key] = round(float(np.median(times)), 2)
+    res["xla_over_fused"] = round(res["xla_ms"] / res["fused_ms"], 3)
+    res["geometry"] = [128, 128, 128]
+    return res
+
+
 def main():
     dev = jax.devices()[0]
     rows = [
@@ -188,6 +222,7 @@ def main():
         bench_dw("dw_l1", 64, 64, 64, 64, 64),
     ]
     out = {"device": str(dev), "rows": rows,
+           "model_fwd": bench_model_fwd(),
            "v2m_decision": (
                "v2m (M-packed kw taps + double-buffered slab DMA) is the "
                "DEFAULT since 2026-08-20. The M-packing alone was a tie — "

@@ -251,7 +251,9 @@ def test_roi_program_cache_shared_across_scales():
     n1 = cas._roi_program._cache_size()
     run((0.83, 1.07, 0.5), (1.2, 0.93, 2.0))  # different spacings, same shapes
     n2 = cas._roi_program._cache_size()
-    assert n1 == n0 + 1
+    # The chain has three stages (in/core/out) — a novel shape adds exactly
+    # one class to each of them, never more.
+    assert n1 == n0 + 3
     assert n2 == n1, "scale change must not add a compile class"
 
 
@@ -610,3 +612,35 @@ def test_fine_quant4_rejected():
     )
     with pytest.raises(ValueError, match="transfer_quant4"):
         predict_case(coarse, fine, img, (1.0, 1.0, 1.5))
+
+
+def test_xla_over_fused_artifact_sourced(tmp_path):
+    # VERDICT r4 weak #5: the bucket cost ratio must track KERNEL_BENCH.json,
+    # with a bounded fallback when the artifact is absent or degenerate.
+    import json
+
+    from runet_tpu.infer import cascade as cas
+
+    art = tmp_path / "KERNEL_BENCH.json"
+    art.write_text(json.dumps({"model_fwd": {"xla_over_fused": 1.72}}))
+    assert cas._xla_over_fused(art) == 1.72
+
+    # missing artifact -> fallback
+    assert cas._xla_over_fused(tmp_path / "nope.json") == cas._XLA_OVER_FUSED_FALLBACK
+    # degenerate values rejected -> fallback
+    art.write_text(json.dumps({"model_fwd": {"xla_over_fused": 55.0}}))
+    assert cas._xla_over_fused(art) == cas._XLA_OVER_FUSED_FALLBACK
+    art.write_text("not json")
+    assert cas._xla_over_fused(art) == cas._XLA_OVER_FUSED_FALLBACK
+
+    # The production (cached) value must agree with the committed artifact
+    # when that artifact carries a model_fwd section (staleness guard).
+    import pathlib
+
+    repo_art = pathlib.Path(cas.__file__).resolve().parents[2] / "KERNEL_BENCH.json"
+    if repo_art.exists():
+        committed = json.loads(repo_art.read_text()).get("model_fwd", {}).get(
+            "xla_over_fused"
+        )
+        if committed is not None and 1.0 <= committed <= 4.0:
+            assert cas._xla_over_fused() == committed
