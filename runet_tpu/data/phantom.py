@@ -43,8 +43,26 @@ def make_phantom(
     noise_hu: float = 8.0,
     vessel_radius: float | None = None,
     kidney_scale: float = 1.0,
+    tumor_hu: float = 55.0,
+    tumor_lobes: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Return (image_hu float32, labels uint8), both (X, Y, Z)."""
+    """Return (image_hu float32, labels uint8), both (X, Y, Z).
+
+    Difficulty knobs (VERDICT r4 weak #3: the default family is
+    high-contrast and a real numerics regression could pass its gates —
+    defaults reproduce the historical output BIT-EXACTLY because the
+    committed bench params' provenance hashes the training data):
+
+    - ``tumor_hu``: default 55 is ~3σ of the HU noise above kidney (30);
+      42 gives a low-contrast (~1.5σ) tumor like the iso/hypodense RCCs
+      that make KiTS19 hard.
+    - ``tumor_lobes``: >1 adds overlapping off-center lobes — a
+      non-ellipsoidal boundary the CC postprocess and Gaussian blending
+      cannot exploit.
+    - ``vessel_radius``: pass ~1-1.5 (voxels) for thin artery/vein tubes
+      at production resolution (default is max(1.5, X*0.02) ≈ 5 at the
+      bench geometry).
+    """
     rng = np.random.default_rng(seed)
     X, Y, Z = shape
     coords = np.mgrid[0:X, 0:Y, 0:Z].astype(np.float32)
@@ -76,7 +94,14 @@ def make_phantom(
     t_center = (centers[0][0] + k_radii[0] * 0.3, centers[0][1], centers[0][2])
     t_rad = (k_radii[0] * 0.45,) * 3
     tm = _ellipsoid_mask(shape, t_center, t_rad, coords)
-    image[tm] = 55.0
+    for _ in range(max(0, tumor_lobes - 1)):
+        # Overlapping off-center lobes (extra rng draws happen only in the
+        # non-default branch — default output stays bit-identical).
+        off = rng.uniform(-0.6, 0.6, size=3) * t_rad[0]
+        lobe_c = tuple(c + o for c, o in zip(t_center, off))
+        lobe_r = tuple(r * rng.uniform(0.5, 0.9) for r in t_rad)
+        tm |= _ellipsoid_mask(shape, lobe_c, lobe_r, coords)
+    image[tm] = tumor_hu
     labels[tm] = TUMOR
 
     if num_classes >= 5:

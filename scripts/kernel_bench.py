@@ -169,6 +169,139 @@ def bench_dw(name, D, H, W, C, Cout, dtype=jnp.bfloat16, iters=30):
     return row
 
 
+def _scanned_op(op, x0, iters: int = 20):
+    """scanned_ms for an op whose output shape differs from its input:
+    carry x0, fold a zero-scaled token of the output back into the carry
+    (keeps the op live and data-dependent across iterations — the
+    established scanned_ms idiom)."""
+
+    def step(x):
+        y = op(x)
+        tok = (y.ravel()[0] * 0).astype(x.dtype)
+        return x + tok
+
+    return scanned_ms(step, x0, iters=iters)
+
+
+def bench_budget() -> dict:
+    """Per-op forward/backward budget of the fine 128³ production forward
+    (VERDICT r4 missing #2: fused rows explained only ~13-14 ms of the
+    37.4 ms forward — the stride-2 downsamples, pixelshuffle projections,
+    concat convs, and head had no measured rows).
+
+    Geometries follow models/unet3d.py at the fine_kits preset (5 levels,
+    features 32/64/128/256/320, B=1, 128³ patch, DCHW layout). Each row
+    times the op as PRODUCTION executes it: NDCHW XLA convs for stride-2 /
+    W%64-gated shapes, the v2m fused conv+stats primitive where
+    fused_block_applicable says the model would fuse. bwd rows time
+    jax.grad wrt (x, w) of the segment."""
+    from runet_tpu.kernels.fused_block import (
+        conv_in_stats_dchw_batch,
+        fused_block_applicable,
+    )
+    from runet_tpu.models.unet3d import depth_to_space_dchw
+
+    rng = np.random.default_rng(0)
+
+    def mk(shape, dtype=jnp.bfloat16):
+        return jnp.asarray(rng.standard_normal(shape), dtype)
+
+    def conv_dchw(x, w, strides):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=strides, padding="SAME",
+            dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+        )
+
+    rows = []
+
+    def add_conv_row(name, D, C, HW, Cout, strides, fused_eligible):
+        x = mk((1, D, C, HW, HW))
+        w = mk((3, 3, 3, C, Cout))
+        out_vox = (D // strides[0]) * (HW // strides[1]) * (HW // strides[2])
+        gflop = 2 * 27 * C * Cout * out_vox / 1e9
+        row = {"name": name, "shape": [D, C, HW, HW], "Cout": Cout,
+               "stride": strides[0], "gflop": round(gflop, 1)}
+        xla_ms = _scanned_op(lambda xx: conv_dchw(xx, w, strides), x)
+        row["xla_ms"] = round(xla_ms, 3)
+        row["xla_tflops"] = round(gflop / xla_ms, 1)
+        prod = "xla"
+        if fused_eligible and strides == (1, 1, 1):
+            # the gate the model itself consults (NDHWC-equivalent shape)
+            if fused_block_applicable((1, D, HW, HW, C), Cout, "v2m"):
+                f_ms = _scanned_op(
+                    lambda xx: conv_in_stats_dchw_batch(xx, w, version="v2m")[0],
+                    x,
+                )
+                row["v2m_ms"] = round(f_ms, 3)
+                row["v2m_tflops"] = round(gflop / f_ms, 1)
+                prod = "v2m"
+        row["prod"] = prod
+        row["prod_ms"] = row[f"{prod}_ms"]
+
+        # backward (dx + dw together, as the production grad computes them)
+        def seg_loss(xx, ww):
+            return conv_dchw(xx, ww, strides).astype(jnp.float32).sum()
+
+        g = jax.grad(seg_loss, argnums=(0, 1))
+
+        def bwd_step(xx):
+            gx, gw = g(xx, w)
+            tok = (gx.ravel()[0] * 0 + gw.ravel()[0] * 0).astype(xx.dtype)
+            return xx + tok
+
+        row["xla_bwd_ms"] = round(scanned_ms(bwd_step, x, iters=10), 3)
+        rows.append(row)
+
+    # encoder entry + stride-2 downsample ladder
+    add_conv_row("enc0_in", 128, 1, 128, 32, (1, 1, 1), True)
+    add_conv_row("down_l1", 128, 32, 128, 64, (2, 2, 2), False)
+    add_conv_row("down_l2", 64, 64, 64, 128, (2, 2, 2), False)
+    add_conv_row("down_l3", 32, 128, 32, 256, (2, 2, 2), False)
+    add_conv_row("down_l4", 16, 256, 16, 320, (2, 2, 2), False)
+    # bottleneck second conv
+    add_conv_row("bot_l4", 8, 320, 8, 320, (1, 1, 1), True)
+    # decoder post-concat convs (2F -> F)
+    add_conv_row("cat_l0", 128, 64, 128, 32, (1, 1, 1), True)
+    add_conv_row("cat_l1", 64, 128, 64, 64, (1, 1, 1), True)
+    add_conv_row("cat_l2", 32, 256, 32, 128, (1, 1, 1), True)
+    add_conv_row("cat_l3", 16, 512, 16, 256, (1, 1, 1), True)
+
+    # pixelshuffle projection GEMM + depth_to_space per decoder level
+    def add_proj_row(name, D, C, HW, F):
+        x = mk((1, D, C, HW, HW))
+        k = mk((C, 8 * F))
+        gflop = 2 * C * 8 * F * D * HW * HW / 1e9
+
+        def op(xx):
+            y = jnp.einsum("bdchw,cf->bdfhw", xx, k)
+            return depth_to_space_dchw(y, 2)
+
+        ms = _scanned_op(op, x)
+        rows.append({"name": name, "shape": [D, C, HW, HW], "F": F,
+                     "gflop": round(gflop, 1), "xla_ms": round(ms, 3),
+                     "xla_tflops": round(gflop / ms, 1), "prod": "xla",
+                     "prod_ms": round(ms, 3)})
+
+    add_proj_row("proj_d3", 8, 320, 8, 256)
+    add_proj_row("proj_d2", 16, 256, 16, 128)
+    add_proj_row("proj_d1", 32, 128, 32, 64)
+    add_proj_row("proj_d0", 64, 64, 64, 32)
+
+    # logits head: f32 flat GEMM + bias (models/unet3d.py::_Head)
+    xh = mk((1, 128, 32, 128, 128))
+    kh = mk((32, 3), jnp.float32)
+    gflop_h = 2 * 32 * 3 * 128 ** 3 / 1e9
+    ms_h = _scanned_op(
+        lambda xx: jnp.einsum("bdchw,ck->bdhwk", xx.astype(jnp.float32), kh),
+        xh,
+    )
+    rows.append({"name": "head", "shape": [128, 32, 128, 128], "Cout": 3,
+                 "gflop": round(gflop_h, 1), "xla_ms": round(ms_h, 3),
+                 "xla_tflops": round(gflop_h / ms_h, 1), "prod": "xla",
+                 "prod_ms": round(ms_h, 3)})
+    return {"rows": rows}
+
+
 def bench_model_fwd(iters: int = 20) -> dict:
     """Full fine-model forward at 128³, fused Pallas blocks ON vs OFF.
 
@@ -223,6 +356,7 @@ def main():
     ]
     out = {"device": str(dev), "rows": rows,
            "model_fwd": bench_model_fwd(),
+           "budget": bench_budget(),
            "v2m_decision": (
                "v2m (M-packed kw taps + double-buffered slab DMA) is the "
                "DEFAULT since 2026-08-20. The M-packing alone was a tie — "

@@ -28,7 +28,9 @@ import numpy as np  # noqa: E402
 
 import bench  # noqa: E402
 
-PRESETS = ("coarse", "fine_kits")
+# renal_anatomy added in round 5: the committed 5-class params back its own
+# cascade quality gate (tests/test_bench_quality.py), per VERDICT r4 item 4.
+PRESETS = ("coarse", "fine_kits", "renal_anatomy")
 
 
 def main(argv):
@@ -55,7 +57,7 @@ def main(argv):
         if params is None:
             print(f"{preset}: no valid params; training {bench.TRAIN_STEPS} "
                   "steps on the phantom set...", file=sys.stderr)
-            bundle, _ = bench.trained_bundle(preset, bench.ensure_train_data())
+            bundle, _ = bench.trained_bundle(preset, None)  # preset-matched data
             import jax
 
             params = jax.device_get(bundle.params)
