@@ -59,6 +59,17 @@ class ModelConfig:
     # Also: fused+remat compiles batch-2 at 128³ where plain XLA+remat
     # fails to compile.
     fused_blocks_train: bool = True
+    # May CONTRACTING convs (Cin > Cout — the decoder post-concat 2F→F
+    # convs) use the fused kernel? Chip-measured BOTH ways 2026-08-20 and
+    # kept ON: the ISOLATED kernel rows favor XLA there (KERNEL_BENCH
+    # budget: cat_l0 5.02 XLA vs 5.69 v2m, cat_l1 1.81 vs 2.42 — XLA's
+    # im2col fills the MXU K dim with 27·Cin while v2m's M-packing shrinks
+    # to 3·Cout rows), but the FULL-MODEL A/B inverts hard: routing the two
+    # cat convs to XLA measured fwd 89.6 vs 37.6 ms at 128³ (333.9 vs 131.0
+    # at the ROI bucket) — an XLA NDCHW conv sandwiched between fused
+    # kernels pays whole-tensor layout copies the standalone row never
+    # sees. Flag kept for re-measurement when the kernel class changes.
+    fused_contracting: bool = True
     # Deep supervision (nnU-Net-lineage [DOMAIN], opt-in): aux 1×1×1 logits
     # heads at decoder levels 1-2 train against 2×/4×-downsampled labels
     # with halving weights (train/losses.py deep_supervised_loss). The aux

@@ -726,16 +726,33 @@ def _conv_stats_kernel_v2m(
     sq_ref[0, 0] = jnp.sum(qacc[:], axis=1)
 
 
-def _pick_tiles_v2m(D: int, H: int, C: int, W: int, itemsize: int):
-    """(TD, TH, RH) for v2m: the chip-proven v2 tile configs. v2m's VMEM at
-    a given tile is strictly SMALLER than v2's (one slab instead of three,
-    plus a small f32 stats scratch), so every config v2 compiles, v2m does
-    too. Larger (8, 16)/(8, 32) tiles were chip-tried for the lower halo
-    re-read factor and measured ≤6%% faster at level 0 — but Mosaic's
-    scoped-vmem accounting rejected them OPAQUELY at other block geometries
-    (C=Cout=64 blew the 16 MB limit by 2 MB; C_in=32→Cout=64 failed at a
-    third size), and a static budget model could not predict which. Not
-    worth a per-geometry empirical gate for 6%%; measured 2026-08-20."""
+# Chip-proven per-geometry v2m tile overrides, keyed
+# (D, H, C, Cout, W, itemsize) → (TD, TH, RH). Populated by
+# scripts/tile_probe.py, which EMPIRICALLY compile-probes the larger
+# (8, 16)/(8, 32) tiles per geometry instead of modeling Mosaic's opaque
+# scoped-vmem accounting (VERDICT r4 item 8), and measures the kernel delta
+# before admitting an entry. NOTE: consulted at trace time — jit caches are
+# keyed on shapes only, so overrides must be installed before the first
+# trace of a geometry (the probe script clears the impl cache between
+# candidates).
+TILE_OVERRIDES: dict[tuple, tuple[int, int, int]] = {}
+
+
+def _pick_tiles_v2m(D: int, H: int, C: int, W: int, itemsize: int,
+                    cout: int | None = None):
+    """(TD, TH, RH) for v2m: the chip-proven v2 tile configs, plus any
+    probe-validated per-geometry override (TILE_OVERRIDES above). v2m's
+    VMEM at a given tile is strictly SMALLER than v2's (one slab instead of
+    three, plus a small f32 stats scratch), so every config v2 compiles,
+    v2m does too. History: larger (8, 16)/(8, 32) tiles were chip-tried for
+    the lower halo re-read factor and measured ≤6%% faster at level 0 — but
+    Mosaic's scoped-vmem accounting rejected them OPAQUELY at other block
+    geometries (C=Cout=64 blew the 16 MB limit by 2 MB; C_in=32→Cout=64
+    failed at a third size), and a static budget model could not predict
+    which — hence the empirical probe."""
+    ov = TILE_OVERRIDES.get((D, H, C, cout, W, itemsize))
+    if ov is not None:
+        return ov
     return _pick_tiles_v2(D, H, C, W, itemsize)
 
 
@@ -750,7 +767,7 @@ def _conv3x3_dchw_m_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = Fals
         raise ValueError(
             f"need C%16==0, Cout%16==0, W%64==0; got C={C} Cout={Cout} W={W}"
         )
-    TD, TH, RH = _pick_tiles_v2m(D, H, C, W, xp.dtype.itemsize)
+    TD, TH, RH = _pick_tiles_v2m(D, H, C, W, xp.dtype.itemsize, cout=Cout)
 
     # (kh, kw·Cout, kd·C + c): kw-major M blocks, kd-major/c-minor K — the
     # single transpose+reshape matches the kernel's row-block slicing.

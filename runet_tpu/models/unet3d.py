@@ -105,7 +105,8 @@ class ConvNormAct(nn.Module):
         return nn.leaky_relu(x, self.negative_slope)
 
 
-def _pair_dchw(cna0, cna1, x, features: int, fused_on: bool, version: str):
+def _pair_dchw(cna0, cna1, x, features: int, fused_on: bool, version: str,
+               contracting_ok: bool = True):
     """Run one or two stride-1 ConvNormActs on a (B, D, C, H, W) activation.
 
     The layout persists across the WHOLE network (round-4 rework; UNet3D
@@ -126,8 +127,12 @@ def _pair_dchw(cna0, cna1, x, features: int, fused_on: bool, version: str):
             x = cna0(x, layout="dhcw")
         x = cna1(x, layout="dhcw")
         return jnp.transpose(x, (0, 1, 3, 2, 4))
+    # Contracting convs (Cin > features: the decoder 2F→F concat convs) run
+    # XLA unless contracting_ok — chip-measured routing rule, see
+    # ModelConfig.fused_contracting.
+    fused0 = fused_ok and (contracting_ok or C <= features)
     if cna0 is not None:
-        x = cna0(x, layout="dchw", fused=fused_ok)
+        x = cna0(x, layout="dchw", fused=fused0)
     return cna1(x, layout="dchw", fused=fused_ok)
 
 
@@ -142,6 +147,7 @@ class EncoderBlock(nn.Module):
 
     fused_blocks: bool = False
     fused_kernel: str = "v2"
+    fused_contracting: bool = True
 
     @nn.compact
     def __call__(self, x):  # x: (B, D, C, H, W)
@@ -159,9 +165,11 @@ class EncoderBlock(nn.Module):
         if self.downsample:
             x = cna0(x, layout="dchw")  # strided: XLA NDCHW conv
             return _pair_dchw(None, cna1, x, self.features,
-                              self.fused_blocks, self.fused_kernel)
+                              self.fused_blocks, self.fused_kernel,
+                              self.fused_contracting)
         return _pair_dchw(cna0, cna1, x, self.features,
-                          self.fused_blocks, self.fused_kernel)
+                          self.fused_blocks, self.fused_kernel,
+                          self.fused_contracting)
 
 
 def depth_to_space_3d(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
@@ -221,6 +229,7 @@ class DecoderBlock(nn.Module):
     upsample_mode: str = "pixelshuffle"
     fused_blocks: bool = False
     fused_kernel: str = "v2"
+    fused_contracting: bool = True
 
     @nn.compact
     def __call__(self, x, skip):  # both (B, D, C, H, W)
@@ -260,7 +269,8 @@ class DecoderBlock(nn.Module):
         cna0 = ConvNormAct(self.features, **kw)
         cna1 = ConvNormAct(self.features, **kw)
         return _pair_dchw(cna0, cna1, x, self.features,
-                          self.fused_blocks, self.fused_kernel)
+                          self.fused_blocks, self.fused_kernel,
+                          self.fused_contracting)
 
 
 def level_features(cfg: ModelConfig) -> Sequence[int]:
@@ -339,6 +349,7 @@ class UNet3D(nn.Module):
             axis_name=cfg.spatial_axis,
             fused_blocks=cfg.fused_blocks,
             fused_kernel=cfg.fused_kernel,
+            fused_contracting=getattr(cfg, "fused_contracting", True),
         )
 
         enc_cls, dec_cls = EncoderBlock, DecoderBlock
@@ -410,6 +421,12 @@ def create_train_model(cfg: ModelConfig) -> UNet3D:
 
     if cfg.fused_blocks and not cfg.fused_blocks_train:
         cfg = dataclasses.replace(cfg, fused_blocks=False)
+    if cfg.fused_blocks and not getattr(cfg, "fused_contracting", True):
+        # Pallas dw beats XLA's bwd-weights correlation by far more than
+        # any contracting-forward delta (ModelConfig.fused_contracting) —
+        # keep every eligible conv fused in the train step even when an
+        # experiment disables contracting fusion for serving.
+        cfg = dataclasses.replace(cfg, fused_contracting=True)
     return UNet3D(cfg)
 
 

@@ -173,14 +173,30 @@ def _scanned_op(op, x0, iters: int = 20):
     """scanned_ms for an op whose output shape differs from its input:
     carry x0, fold a zero-scaled token of the output back into the carry
     (keeps the op live and data-dependent across iterations — the
-    established scanned_ms idiom)."""
+    established scanned_ms idiom).
+
+    Fallback: ops that force an exotic operand layout (the f32 head einsum)
+    can make XLA copy the while-carry into a 128×-padded tiling — 16 GB of
+    HLO temp, a compile-time OOM. Retry with an optimization_barrier pinning
+    the carry; measured +~1 ms of barrier copy, noted as an overestimate."""
 
     def step(x):
         y = op(x)
         tok = (y.ravel()[0] * 0).astype(x.dtype)
         return x + tok
 
-    return scanned_ms(step, x0, iters=iters)
+    def step_barrier(x):
+        y = op(x)
+        tok = (y.ravel()[0] * 0).astype(x.dtype)
+        return jax.lax.optimization_barrier(x + tok)
+
+    try:
+        return scanned_ms(step, x0, iters=iters), ""
+    except Exception:
+        return (
+            scanned_ms(step_barrier, x0, iters=iters),
+            "barrier-carry (scan layout OOM fallback; slight overestimate)",
+        )
 
 
 def bench_budget() -> dict:
@@ -221,19 +237,23 @@ def bench_budget() -> dict:
         gflop = 2 * 27 * C * Cout * out_vox / 1e9
         row = {"name": name, "shape": [D, C, HW, HW], "Cout": Cout,
                "stride": strides[0], "gflop": round(gflop, 1)}
-        xla_ms = _scanned_op(lambda xx: conv_dchw(xx, w, strides), x)
+        xla_ms, note = _scanned_op(lambda xx: conv_dchw(xx, w, strides), x)
         row["xla_ms"] = round(xla_ms, 3)
         row["xla_tflops"] = round(gflop / xla_ms, 1)
+        if note:
+            row["xla_note"] = note
         prod = "xla"
         if fused_eligible and strides == (1, 1, 1):
             # the gate the model itself consults (NDHWC-equivalent shape)
             if fused_block_applicable((1, D, HW, HW, C), Cout, "v2m"):
-                f_ms = _scanned_op(
+                f_ms, fnote = _scanned_op(
                     lambda xx: conv_in_stats_dchw_batch(xx, w, version="v2m")[0],
                     x,
                 )
                 row["v2m_ms"] = round(f_ms, 3)
                 row["v2m_tflops"] = round(gflop / f_ms, 1)
+                if fnote:
+                    row["v2m_note"] = fnote
                 prod = "v2m"
         row["prod"] = prod
         row["prod_ms"] = row[f"{prod}_ms"]
@@ -249,8 +269,12 @@ def bench_budget() -> dict:
             tok = (gx.ravel()[0] * 0 + gw.ravel()[0] * 0).astype(xx.dtype)
             return xx + tok
 
-        row["xla_bwd_ms"] = round(scanned_ms(bwd_step, x, iters=10), 3)
+        try:
+            row["xla_bwd_ms"] = round(scanned_ms(bwd_step, x, iters=10), 3)
+        except Exception as e:
+            row["xla_bwd_error"] = str(e)[:120]
         rows.append(row)
+        print(f"budget row {name}: {row}", file=sys.stderr, flush=True)
 
     # encoder entry + stride-2 downsample ladder
     add_conv_row("enc0_in", 128, 1, 128, 32, (1, 1, 1), True)
@@ -276,11 +300,15 @@ def bench_budget() -> dict:
             y = jnp.einsum("bdchw,cf->bdfhw", xx, k)
             return depth_to_space_dchw(y, 2)
 
-        ms = _scanned_op(op, x)
-        rows.append({"name": name, "shape": [D, C, HW, HW], "F": F,
-                     "gflop": round(gflop, 1), "xla_ms": round(ms, 3),
-                     "xla_tflops": round(gflop / ms, 1), "prod": "xla",
-                     "prod_ms": round(ms, 3)})
+        ms, note = _scanned_op(op, x)
+        row = {"name": name, "shape": [D, C, HW, HW], "F": F,
+               "gflop": round(gflop, 1), "xla_ms": round(ms, 3),
+               "xla_tflops": round(gflop / ms, 1), "prod": "xla",
+               "prod_ms": round(ms, 3)}
+        if note:
+            row["xla_note"] = note
+        rows.append(row)
+        print(f"budget row {name}: {row}", file=sys.stderr, flush=True)
 
     add_proj_row("proj_d3", 8, 320, 8, 256)
     add_proj_row("proj_d2", 16, 256, 16, 128)
@@ -291,14 +319,18 @@ def bench_budget() -> dict:
     xh = mk((1, 128, 32, 128, 128))
     kh = mk((32, 3), jnp.float32)
     gflop_h = 2 * 32 * 3 * 128 ** 3 / 1e9
-    ms_h = _scanned_op(
+    ms_h, note_h = _scanned_op(
         lambda xx: jnp.einsum("bdchw,ck->bdhwk", xx.astype(jnp.float32), kh),
         xh,
     )
-    rows.append({"name": "head", "shape": [128, 32, 128, 128], "Cout": 3,
-                 "gflop": round(gflop_h, 1), "xla_ms": round(ms_h, 3),
-                 "xla_tflops": round(gflop_h / ms_h, 1), "prod": "xla",
-                 "prod_ms": round(ms_h, 3)})
+    row = {"name": "head", "shape": [128, 32, 128, 128], "Cout": 3,
+           "gflop": round(gflop_h, 1), "xla_ms": round(ms_h, 3),
+           "xla_tflops": round(gflop_h / ms_h, 1), "prod": "xla",
+           "prod_ms": round(ms_h, 3)}
+    if note_h:
+        row["xla_note"] = note_h
+    rows.append(row)
+    print(f"budget row head: {row}", file=sys.stderr, flush=True)
     return {"rows": rows}
 
 
@@ -316,6 +348,8 @@ def bench_model_fwd(iters: int = 20) -> dict:
     from runet_tpu.config import get_config
     from runet_tpu.models.unet3d import create_model, init_params
 
+    from runet_tpu.utils.latency import chained_ms
+
     cfg = get_config("fine_kits")
     res = {}
     for fused, key in ((True, "fused_ms"), (False, "xla_ms")):
@@ -324,13 +358,10 @@ def bench_model_fwd(iters: int = 20) -> dict:
         params = init_params(model, jax.random.key(0), (128, 128, 128))
         fwd = jax.jit(lambda p, x, m=model: m.apply({"params": p}, x))
         x = jnp.zeros((1, 128, 128, 128, mcfg.in_channels), jnp.bfloat16)
-        jax.block_until_ready(fwd(params, x))  # compile + first exec
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fwd(params, x))
-            times.append((time.perf_counter() - t0) * 1000)
-        res[key] = round(float(np.median(times)), 2)
+        # chained protocol: per-call sync through the tunnel adds a ~20 ms
+        # RTT per iteration (the first version of this measured 60 ms for a
+        # 37 ms forward); chained_ms amortizes the RTT across the chain.
+        res[key] = round(chained_ms(fwd, (params, x), n=iters), 2)
     res["xla_over_fused"] = round(res["xla_ms"] / res["fused_ms"], 3)
     res["geometry"] = [128, 128, 128]
     return res
