@@ -70,6 +70,14 @@ class ModelConfig:
     # kernels pays whole-tensor layout copies the standalone row never
     # sees. Flag kept for re-measurement when the kernel class changes.
     fused_contracting: bool = True
+    # Fused stride-2 downsample kernel (kernels/strided_conv.py: tap GEMMs
+    # dense in W + MXU 0/1-selection lane decimation; chip-measured 2.88 vs
+    # 4.60 ms XLA at 128³ 32→64, stats included). Full-model A/B
+    # (2026-08-20, chained_ms n=12): fwd 32.98 vs 37.60 ms at 128³ (−12%),
+    # 108.70 vs 129.87 ms at the 160×192×256 ROI bucket (−16% — it fires at
+    # both W%128 downsample levels there). Serving only — no custom_vjp
+    # yet, so create_train_model forces it OFF.
+    fused_downsample: bool = True
     # Deep supervision (nnU-Net-lineage [DOMAIN], opt-in): aux 1×1×1 logits
     # heads at decoder levels 1-2 train against 2×/4×-downsampled labels
     # with halving weights (train/losses.py deep_supervised_loss). The aux

@@ -1,0 +1,318 @@
+"""Fused stride-2 Conv3D (+ IN stats) Pallas kernel — the downsample convs.
+
+Why this exists (round 5; VERDICT r4 missing #2 / item 1): the per-op budget
+(KERNEL_BENCH.json ``budget``) showed the encoder's stride-2 downsample
+convs as the largest un-fused forward segment — down_l1 (128³, 32→64)
+alone is 4.8-6.1 ms of XLA at ~12 TF/s, driven by XLA's poor handling of
+strided windows. Every XLA-level reformulation measured WORSE (2026-08-20
+probes): 8-way phase-split 66 ms, phase-split with grouped taps 220 ms,
+W-decimation via selection einsum 15.6 ms — XLA executes lane-strided
+slices and small-N selection contractions far from roofline.
+
+The TPU-native resolution: lane-granularity stride is a MATMUL. A 0/1
+selection matrix S_kw (W, W/2) with ``S_kw[2w'+kw, w'] = 1`` decimates the
+dense tap-GEMM result on the MXU for ~13 GF — noise next to the conv — and
+bakes the asymmetric SAME-padding of stride-2 convs (pad_lo=0, pad_hi=1)
+into the matrix: rows past the input extent simply do not exist. D/H
+strides cost nothing: the kernel picks slab rows ``2d'+kd`` / lane windows
+``(2h'+kh)·W`` directly.
+
+Structure (one grid step = one (TD, TH) tile of OUTPUT rows):
+
+  slab DMA   (2TD+1, C, (2TH+1)·W) raw input rows, double-buffered
+             (same prefetch pattern as fused_block.py v2m — chip-measured
+             decisive there: 3.6 → 1.80 ms at level 0)
+  tap GEMM   p = Σ_kh  wt[kh] (3Cout, 3C) · slab[2d:2d+3, :, (2h+kh)W:+W]
+             — kd packed into K, kw packed into M exactly like v2m
+  decimate   y = Σ_kw  p[kw·Cout:(kw+1)·Cout] @ S_kw   → (Cout, W/2)
+  stats      Σy, Σy² per channel (InstanceNorm moments, like v2m)
+
+Constraints: C, Cout multiples of 16; W % 128 == 0 (the decimated output
+W/2 must stay a multiple of 64 lanes); D, H even. Applies to the fine
+model's level-0→1 downsample (128³, 32→64) and any ROI-scale geometry with
+W % 128 == 0; deeper downsamples (W ≤ 64) stay XLA — their budget rows
+measure ≤ 1.7 ms, there is little to win.
+
+Measured (v5e, 2026-08-20, scanned token protocol, 128³ 32→64):
+XLA 4.83-6.1 ms → this kernel: see KERNEL_BENCH.json ``s2`` rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _selection_matrices(W: int, dtype) -> np.ndarray:
+    """(3, W, W/2) 0/1 decimation matrices; S[kw, 2w'+kw, w'] = 1.
+    Rows past W-1 (the kw=2 tap at the last output) are absent — that IS
+    the stride-2 SAME pad_hi."""
+    W2 = W // 2
+    S = np.zeros((3, W, W2), np.float32)
+    for kw in range(3):
+        for wp in range(W2):
+            src = 2 * wp + kw
+            if src < W:
+                S[kw, src, wp] = 1.0
+    return S.astype(dtype)
+
+
+def _pick_tiles_s2(D2: int, H2: int, C: int, W: int, itemsize: int):
+    """(TD, TH) over OUTPUT rows. The slab holds (2TD+1)·C·(2TH+1)·W
+    input elements, double-buffered; keep both slots within ~6 MB so the
+    16 MB scoped-vmem limit stays far away (Mosaic's accounting is opaque —
+    fused_block.py history)."""
+    for TD, TH in ((4, 8), (2, 8), (2, 4), (1, 4), (1, 2), (1, 1)):
+        if D2 % TD or H2 % TH:
+            continue
+        slab_b = (2 * TD + 1) * C * (2 * TH + 1) * W * itemsize
+        if 2 * slab_b > 6 * 1024 * 1024:
+            continue
+        return TD, TH
+    raise ValueError(f"no s2 tile config for D2={D2} H2={H2} C={C} W={W}")
+
+
+def _conv_s2_kernel(
+    xp, wt_ref, s_ref, o_ref, sum_ref, sq_ref, slab2, sacc, qacc, sem2,
+    *, TD, TH, W, C, n_h_tiles, n_steps,
+):
+    W2 = W // 2
+    step = pl.program_id(0)
+    slot = jax.lax.rem(step, 2)
+
+    def issue(s, st):
+        dt = st // n_h_tiles
+        ht = st % n_h_tiles
+        return pltpu.make_async_copy(
+            xp.at[
+                pl.ds(dt * 2 * TD, 2 * TD + 1),
+                :,
+                pl.ds(ht * 2 * TH * W, (2 * TH + 1) * W),
+            ],
+            slab2.at[s],
+            sem2.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _first():
+        issue(0, 0).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch():
+        issue(1 - slot, step + 1).start()
+
+    pltpu.make_async_copy(
+        xp.at[pl.ds(0, 2 * TD + 1), :, pl.ds(0, (2 * TH + 1) * W)],
+        slab2.at[slot],
+        sem2.at[slot],
+    ).wait()
+    slab = slab2.at[slot]
+
+    Cout = o_ref.shape[1]
+    sacc[:] = jnp.zeros((Cout, W2), jnp.float32)
+    qacc[:] = jnp.zeros((Cout, W2), jnp.float32)
+
+    for d in range(TD):
+        for h in range(TH):
+            # kd packed into K (3 consecutive slab D-rows from 2d), kw
+            # packed into M (wt's 3Cout rows) — identical to v2m; kh is a
+            # 3-term accumulation over strided lane windows.
+            p = None
+            for kh in range(3):
+                xv = slab[
+                    pl.ds(2 * d, 3), :, pl.ds((2 * h + kh) * W, W)
+                ].reshape(3 * C, W)
+                dot = jnp.dot(
+                    wt_ref[kh], xv, preferred_element_type=jnp.float32
+                )  # (3·Cout, W), kw-major row blocks
+                p = dot if p is None else p + dot
+            # stride-2 W decimation on the MXU: 0/1 selection per kw tap.
+            acc = None
+            for kw in range(3):
+                sel = jnp.dot(
+                    p[kw * Cout:(kw + 1) * Cout],
+                    s_ref[kw],
+                    preferred_element_type=jnp.float32,
+                )  # (Cout, W2)
+                acc = sel if acc is None else acc + sel
+            yb = acc.astype(o_ref.dtype)
+            o_ref[d, :, pl.ds(h * W2, W2)] = yb
+            yf = yb.astype(jnp.float32)
+            sacc[:] += yf
+            qacc[:] += yf * yf
+    sum_ref[0, 0] = jnp.sum(sacc[:], axis=1)
+    sq_ref[0, 0] = jnp.sum(qacc[:], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _conv3x3_s2_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """xp: (D+1, C, H+1, W) — D/H padded by 1 at the HIGH end only (the
+    asymmetric SAME padding of stride-2 convs for even extents); W unpadded
+    (the selection matrices carry its pad). w: (3, 3, 3, C, Cout).
+
+    Returns (y (D/2, Cout, H/2, W/2) in xp.dtype, sums (Cout,) f32,
+    sqs (Cout,) f32) — conv output plus InstanceNorm moments.
+    """
+    Dp, C, Hp, W = xp.shape
+    D, H = Dp - 1, Hp - 1
+    if D % 2 or H % 2:
+        raise ValueError(f"need even D, H; got D={D} H={H}")
+    D2, H2, W2 = D // 2, H // 2, W // 2
+    Cout = w.shape[-1]
+    if C % 16 or Cout % 16 or W % 128:
+        raise ValueError(
+            f"need C%16==0, Cout%16==0, W%128==0; got C={C} Cout={Cout} W={W}"
+        )
+    TD, TH = _pick_tiles_s2(D2, H2, C, W, xp.dtype.itemsize)
+
+    # same weight relayout as v2m: (kh, kw·Cout, kd·C + c)
+    wt = w.transpose(1, 2, 4, 0, 3).reshape(3, 3 * Cout, 3 * C).astype(xp.dtype)
+    S = jnp.asarray(_selection_matrices(W, xp.dtype))
+    xflat = xp.reshape(Dp, C, Hp * W)
+    nD, nH = D2 // TD, H2 // TH
+    n_steps = nD * nH
+    kernel = partial(
+        _conv_s2_kernel, TD=TD, TH=TH, W=W, C=C, n_h_tiles=nH, n_steps=n_steps,
+    )
+    y, sums, sqs = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (TD, Cout, TH * W2),
+                lambda s, _nH=nH: (s // _nH, 0, s % _nH),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Cout), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Cout), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D2, Cout, H2 * W2), xp.dtype),
+            jax.ShapeDtypeStruct((n_steps, 1, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, 1, Cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * TD + 1, C, (2 * TH + 1) * W), xp.dtype),
+            pltpu.VMEM((Cout, W2), jnp.float32),
+            pltpu.VMEM((Cout, W2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xflat, wt, S)
+    return (
+        y.reshape(D2, Cout, H2, W2),
+        sums.sum(axis=(0, 1)),
+        sqs.sum(axis=(0, 1)),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_s2(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
+    """Differentiable fused stride-2 conv+stats: Pallas forward, XLA
+    backward (the stride-2 dx is an input-dilated conv and dw a strided
+    correlation — both still XLA; a Pallas dw/dx pair is future work, the
+    train-step budget rows say it is where the remaining bwd fat sits)."""
+    return _conv3x3_s2_impl(xp, w, interpret=interpret)
+
+
+def _s2_fwd(xp, w, interpret):
+    y, sums, sqs = _conv3x3_s2_impl(xp, w, interpret=interpret)
+    return (y, sums, sqs), (xp, w, y)
+
+
+def _s2_bwd(interpret, res, cots):
+    xp, w, y = res
+    gy, gs, gq = cots
+    dt = y.dtype
+    # fold the stats cotangents into the conv-output cotangent:
+    # d(Σy)/dy = 1, d(Σy²)/dy = 2y (channel axis = 1 of (D2, Cout, H2, W2)).
+    g = (
+        gy.astype(dt)
+        + gs.astype(dt)[None, :, None, None]
+        + (2.0 * gq).astype(dt)[None, :, None, None] * y
+    )
+
+    Dp, C, Hp, W = xp.shape
+    D, H = Dp - 1, Hp - 1
+
+    def f(xp_, w_):
+        return jax.lax.conv_general_dilated(
+            xp_[None, :D, :, :H, :], w_.astype(dt), (2, 2, 2), "SAME",
+            dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
+        )[0]
+
+    _, vjp_fn = jax.vjp(f, xp, w)
+    dxp, dw = vjp_fn(g)
+    return dxp.astype(xp.dtype), dw.astype(w.dtype)
+
+
+conv3x3_s2.defvjp(_s2_fwd, _s2_bwd)
+
+
+def conv3x3_s2_applicable(dchw_shape, features: int) -> bool:
+    """Gate for the model's strided ConvNormAct: (B, D, C, H, W) with B=1,
+    even D/H, W%128==0, channel multiples of 16, feasible tiling, TPU
+    backend (or interpret-forced tests)."""
+    from runet_tpu.kernels.fused_block import FORCE_INTERPRET
+
+    if len(dchw_shape) != 5:
+        return False
+    B, D, C, H, W = dchw_shape
+    if B != 1 or D % 2 or H % 2 or W % 128 or C % 16 or features % 16:
+        return False
+    if not (jax.default_backend() == "tpu" or FORCE_INTERPRET):
+        return False
+    try:
+        _pick_tiles_s2(D // 2, H // 2, int(C), int(W), 2)
+    except ValueError:
+        return False
+    return True
+
+
+def conv_s2_stats_dchw_batch(x: jnp.ndarray, kernel: jnp.ndarray,
+                             interpret=None):
+    """Batched fused stride-2 conv+stats for the model (B=1 only — the gate
+    rejects larger batches; serving dispatches B=1).
+
+    x: (B, D, C, H, W) compute dtype; kernel: (3, 3, 3, Cin, Cout).
+    Returns (y (B, D/2, Cout, H/2, W/2), mean (B, Cout), sqmean (B, Cout)).
+    """
+    from runet_tpu.kernels.fused_block import FORCE_INTERPRET, _ceil16
+
+    if interpret is None:
+        interpret = FORCE_INTERPRET
+    B, D, C, H, W = x.shape
+    Cout = kernel.shape[-1]
+    Cp, Co = _ceil16(C), _ceil16(Cout)
+    if Cp != C:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Cp - C), (0, 0), (0, 0)))
+        kernel = jnp.pad(kernel, ((0, 0),) * 3 + ((0, Cp - C), (0, 0)))
+    if Co != Cout:
+        kernel = jnp.pad(kernel, ((0, 0),) * 4 + ((0, Co - Cout),))
+    kernel = kernel.astype(x.dtype)
+
+    def one(xi):
+        xp = jnp.pad(xi, ((0, 1), (0, 0), (0, 1), (0, 0)))
+        y, sums, sqs = conv3x3_s2(xp, kernel, interpret)
+        return y, sums, sqs
+
+    y, sums, sqs = jax.vmap(one)(x)
+    y = y[:, :, :Cout]
+    n = y.shape[1] * y.shape[3] * y.shape[4]
+    mean = sums[:, :Cout] / n
+    sqmean = sqs[:, :Cout] / n
+    return y, mean, sqmean

@@ -68,9 +68,21 @@ class ConvNormAct(nn.Module):
                 conv_in_stats_dhcw_batch,
             )
 
-            if self.strides != (1, 1, 1):
-                raise ValueError("fused path is stride-1 only")
-            if layout == "dchw":
+            if self.strides == (2, 2, 2) and layout == "dchw":
+                # Fused stride-2 downsample (kernels/strided_conv.py):
+                # v2m-style tap GEMMs dense in W, the lane decimation as 0/1
+                # selection matmuls on the MXU. Chip-measured 2.88 vs 4.60
+                # ms XLA at the 128³ 32→64 geometry, stats included.
+                from runet_tpu.kernels.strided_conv import (
+                    conv_s2_stats_dchw_batch,
+                )
+
+                y, mean, sqm = conv_s2_stats_dchw_batch(
+                    x.astype(self.dtype), kernel
+                )
+            elif self.strides != (1, 1, 1):
+                raise ValueError("fused path: stride-1 or dchw stride-2 only")
+            elif layout == "dchw":
                 y, mean, sqm = conv_in_stats_dchw_batch(
                     x.astype(self.dtype), kernel, version=self.fused_kernel
                 )
@@ -148,6 +160,7 @@ class EncoderBlock(nn.Module):
     fused_blocks: bool = False
     fused_kernel: str = "v2"
     fused_contracting: bool = True
+    fused_downsample: bool = False
 
     @nn.compact
     def __call__(self, x):  # x: (B, D, C, H, W)
@@ -163,7 +176,16 @@ class EncoderBlock(nn.Module):
         cna0 = ConvNormAct(self.features, strides=stride, **kw)
         cna1 = ConvNormAct(self.features, **kw)
         if self.downsample:
-            x = cna0(x, layout="dchw")  # strided: XLA NDCHW conv
+            s2_ok = False
+            if self.fused_blocks and self.fused_downsample:
+                from runet_tpu.kernels.strided_conv import (
+                    conv3x3_s2_applicable,
+                )
+
+                s2_ok = conv3x3_s2_applicable(x.shape, self.features)
+            # strided: fused s2 Pallas kernel where applicable, XLA NDCHW
+            # conv otherwise
+            x = cna0(x, layout="dchw", fused=s2_ok)
             return _pair_dchw(None, cna1, x, self.features,
                               self.fused_blocks, self.fused_kernel,
                               self.fused_contracting)
@@ -351,6 +373,7 @@ class UNet3D(nn.Module):
             fused_kernel=cfg.fused_kernel,
             fused_contracting=getattr(cfg, "fused_contracting", True),
         )
+        enc_kw = dict(kw, fused_downsample=getattr(cfg, "fused_downsample", False))
 
         enc_cls, dec_cls = EncoderBlock, DecoderBlock
         if cfg.remat:
@@ -371,7 +394,7 @@ class UNet3D(nn.Module):
         # (nn.remat renames the class, which would rename default paths and
         # break checkpoint resume).
         for lvl, f in enumerate(feats):
-            x = enc_cls(f, downsample=lvl > 0, name=f"enc{lvl}", **kw)(x)
+            x = enc_cls(f, downsample=lvl > 0, name=f"enc{lvl}", **enc_kw)(x)
             if lvl < len(feats) - 1:
                 skips.append(x)
 
@@ -427,6 +450,13 @@ def create_train_model(cfg: ModelConfig) -> UNet3D:
         # keep every eligible conv fused in the train step even when an
         # experiment disables contracting fusion for serving.
         cfg = dataclasses.replace(cfg, fused_contracting=True)
+    if getattr(cfg, "fused_downsample", False):
+        # The stride-2 kernel's custom_vjp computes its backward via XLA
+        # (kernels/strided_conv.py), so autodiff works — but the train-step
+        # default stays OFF until a chip A/B shows the Pallas forward's win
+        # survives inside the grad program (the contracting-conv inversion
+        # is the cautionary tale).
+        cfg = dataclasses.replace(cfg, fused_downsample=False)
     return UNet3D(cfg)
 
 

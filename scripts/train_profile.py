@@ -197,6 +197,10 @@ def main():
 
     rows["optimizer_ms"] = _tms(opt_step, state, 20)
 
+    # host snapshot BEFORE the production step donates the state buffers
+    # (the batch/remat A/B below needs a live copy).
+    state_host = jax.device_get(state)
+
     # dispatched: the production jitted step, host-dispatch protocol.
     step = make_train_step(model, augment=True, elastic=cfg.train.elastic)
     st = jax.device_put(state)
@@ -209,7 +213,38 @@ def main():
     np.asarray(aux["loss"])
     rows["dispatched_ms"] = (time.monotonic() - t0) * 1000.0 / n
 
-    rows = {k: round(v, 2) for k, v in rows.items()}
+    # ---- per-chip batch-2 and remat A/B at the TRAIN step (VERDICT r4
+    # item 3: the roi_batch inversion was inference-side evidence only;
+    # MXU fill at Cout=32 might reward batching in train even though it
+    # regressed in serving) ----
+    import dataclasses as _dc
+
+    # fresh state copy: the dispatched section above DONATED the original
+    # state buffers to the production step.
+    state_ab = jax.device_put(state_host)
+    for tag, (b_ab, rm) in {
+        "b2": (2, False), "b1_remat": (1, True), "b2_remat": (2, True),
+    }.items():
+        m_ab = create_train_model(_dc.replace(cfg.model, remat=rm))
+        im_ab = jnp.concatenate([imgs] * b_ab) if b_ab > 1 else imgs
+        lb_ab = jnp.concatenate([labs] * b_ab) if b_ab > 1 else labs
+
+        def core_ab(s, _m=m_ab, _im=im_ab, _lb=lb_ab):
+            def lf(p, im, lb):
+                logits = _m.apply({"params": p}, im)
+                return dice_ce_loss(logits, lb)
+
+            grads, _aux = jax.grad(lf, has_aux=True)(s.params, _im, _lb)
+            g = optax.global_norm(grads)
+            s = s.apply_gradients(grads=grads)
+            return s.replace(step=s.step + (g * 0).astype(s.step.dtype))
+
+        try:
+            rows[f"step_core_{tag}_ms"] = _tms(core_ab, state_ab, 8)
+        except Exception as e:
+            rows[f"step_core_{tag}_error"] = str(e)[:140]
+
+    rows = {k: (round(v, 2) if isinstance(v, float) else v) for k, v in rows.items()}
     out = {
         "preset": preset,
         "patch": list(ps),
@@ -228,6 +263,17 @@ def main():
             "bwd_minus_fwd_ms": round(rows["grad_ms"] - rows["loss_fwd_ms"], 2),
         },
     }
+    if "step_core_b2_ms" in rows:
+        out["derived"]["b2_ms_per_patch"] = round(rows["step_core_b2_ms"] / 2, 2)
+        out["derived"]["b2_verdict"] = (
+            "B=2 wins per patch"
+            if rows["step_core_b2_ms"] / 2 < rows["step_core_ms"] * 0.98
+            else "B=1 stands (B=2 not >2% better per patch)"
+        )
+    if "step_core_b1_remat_ms" in rows:
+        out["derived"]["remat_overhead_pct"] = round(
+            (rows["step_core_b1_remat_ms"] / rows["step_core_ms"] - 1) * 100, 1
+        )
     if it_scale:  # smoke runs (patch override) don't write the artifact
         Path(__file__).resolve().parent.parent.joinpath(
             "TRAIN_PROFILE.json"
