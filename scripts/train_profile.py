@@ -222,10 +222,19 @@ def main():
     # fresh state copy: the dispatched section above DONATED the original
     # state buffers to the production step.
     state_ab = jax.device_put(state_host)
-    for tag, (b_ab, rm) in {
-        "b2": (2, False), "b1_remat": (1, True), "b2_remat": (2, True),
+    for tag, (b_ab, rm, s2) in {
+        "b2": (2, False, False), "b1_remat": (1, True, False),
+        "b2_remat": (2, True, False), "b1_s2fused": (1, False, True),
     }.items():
-        m_ab = create_train_model(_dc.replace(cfg.model, remat=rm))
+        mcfg_ab = _dc.replace(cfg.model, remat=rm)
+        if s2:
+            # bypass create_train_model's forced-off: build the serving-
+            # routing model directly (the s2 custom_vjp makes it valid).
+            from runet_tpu.models.unet3d import UNet3D
+
+            m_ab = UNet3D(_dc.replace(mcfg_ab, fused_downsample=True))
+        else:
+            m_ab = create_train_model(mcfg_ab)
         im_ab = jnp.concatenate([imgs] * b_ab) if b_ab > 1 else imgs
         lb_ab = jnp.concatenate([labs] * b_ab) if b_ab > 1 else labs
 
