@@ -75,8 +75,9 @@ class ModelConfig:
     # 4.60 ms XLA at 128³ 32→64, stats included). Full-model A/B
     # (2026-08-20, chained_ms n=12): fwd 32.98 vs 37.60 ms at 128³ (−12%),
     # 108.70 vs 129.87 ms at the 160×192×256 ROI bucket (−16% — it fires at
-    # both W%128 downsample levels there). Serving only — no custom_vjp
-    # yet, so create_train_model forces it OFF.
+    # both W%128 downsample levels there). ALSO on in the train step: the
+    # custom_vjp runs the backward via XLA, and the grad-program A/B
+    # (TRAIN_PROFILE.json 2026-08-21) measured step_core 103.0 vs 107.8 ms.
     fused_downsample: bool = True
     # Deep supervision (nnU-Net-lineage [DOMAIN], opt-in): aux 1×1×1 logits
     # heads at decoder levels 1-2 train against 2×/4×-downsampled labels
@@ -316,13 +317,18 @@ def _preset_fine_kits() -> Config:
         # transfer_quant: uint8 uploads over the HU window (see
         # PreprocessConfig) — halves the dominant serving tunnel cost.
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8), transfer_quant=True),
-        # batch 1 + 2-step gradient accumulation: effective batch 2 within
-        # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
+        # Per-chip batch 2, no grad accumulation: chip-measured 2026-08-21
+        # (TRAIN_PROFILE.json): step_core B=2 = 195.5 ms = 97.7 ms/patch vs
+        # 107.8 at B=1 — a 9.4% per-patch win, and the update rate doubles
+        # vs the old batch-1 + 2-step-accum config (216.9 ms/update). The
+        # round-3 "batch 2 OOMs in backward" no longer holds under the
+        # round-4/5 kernel and layout classes. remat measured +32% — not
+        # needed at this size.
         # val_full_every: keep-best selection keys on full sliding-window
         # Dice every 5 patch-vals (SURVEY.md §3.1/§3.4 — the reference
         # validated on held-out volumes, not patches).
-        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1,
-                          grad_accum=2, val_full_every=5000),
+        train=TrainConfig(patch_size=(128, 128, 128), batch_size=2,
+                          grad_accum=1, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128)),
     )
 
@@ -339,10 +345,10 @@ def _preset_renal_anatomy() -> Config:
         name="renal_anatomy",
         model=ModelConfig(num_classes=5),
         preprocess=PreprocessConfig(spacing=(0.8, 0.8, 0.8), transfer_quant=True),
-        # batch 1 + 2-step gradient accumulation: effective batch 2 within
-        # one v5e chip's 16 GB HBM (batch 2 at 128-cubed OOMs in backward).
-        train=TrainConfig(patch_size=(128, 128, 128), batch_size=1,
-                          grad_accum=2, val_full_every=5000),
+        # Per-chip batch 2, no grad accumulation (chip-measured win — see
+        # the fine_kits preset comment / TRAIN_PROFILE.json).
+        train=TrainConfig(patch_size=(128, 128, 128), batch_size=2,
+                          grad_accum=1, val_full_every=5000),
         infer=InferConfig(patch_size=(128, 128, 128)),
     )
 

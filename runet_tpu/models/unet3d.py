@@ -450,13 +450,11 @@ def create_train_model(cfg: ModelConfig) -> UNet3D:
         # keep every eligible conv fused in the train step even when an
         # experiment disables contracting fusion for serving.
         cfg = dataclasses.replace(cfg, fused_contracting=True)
-    if getattr(cfg, "fused_downsample", False):
-        # The stride-2 kernel's custom_vjp computes its backward via XLA
-        # (kernels/strided_conv.py), so autodiff works — but the train-step
-        # default stays OFF until a chip A/B shows the Pallas forward's win
-        # survives inside the grad program (the contracting-conv inversion
-        # is the cautionary tale).
-        cfg = dataclasses.replace(cfg, fused_downsample=False)
+    # fused_downsample stays ON in the train step: the grad-program A/B
+    # (TRAIN_PROFILE.json 2026-08-21) measured step_core 103.0 ms with the
+    # s2 Pallas forward (+ its XLA-computed backward) vs 107.8 all-XLA —
+    # the forward win survives inside the grad program (unlike the
+    # contracting-conv routing, which inverted; both were measured).
     return UNet3D(cfg)
 
 
