@@ -220,12 +220,127 @@ def _conv3x3_s2_impl(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
     )
 
 
+def _s2_dw_kernel(
+    xp, g_ref, s_ref, dw_ref, slab2, sem2,
+    *, TD, TH, W, C, n_h_tiles, n_steps,
+):
+    """Stride-2 conv-bwd-weights:
+    dw[kd,kh,kw,c,co] = Σ_{d,h,w'} xp(2d+kd, c, 2h+kh, 2w'+kw) · g(d,co,h,w')
+
+    The lane misalignment (x at 2w'+kw vs g at w') is resolved like the
+    forward: per-tap x DECIMATION via the 0/1 selection matrices on the
+    MXU (xsel_kw = xv @ S_kw aligns both operands on W/2 lanes), then one
+    lane-contraction per (d, h, kh) with the three kw variants M-packed:
+    dot_general(xcat (3·3C, W/2), gv (Cout, W/2)) → (3·3C, Cout) — all kw
+    taps side by side (the stride-1 dw kernel packs the same way on the g
+    side). Selection adds ~19 GF next to the 29 GF contraction at the
+    128³ 32→64 geometry — MXU noise."""
+    W2 = W // 2
+    step = pl.program_id(0)
+    slot = jax.lax.rem(step, 2)
+
+    def issue(s, st):
+        dt = st // n_h_tiles
+        ht = st % n_h_tiles
+        return pltpu.make_async_copy(
+            xp.at[
+                pl.ds(dt * 2 * TD, 2 * TD + 1),
+                :,
+                pl.ds(ht * 2 * TH * W, (2 * TH + 1) * W),
+            ],
+            slab2.at[s],
+            sem2.at[s],
+        )
+
+    @pl.when(step == 0)
+    def _first():
+        issue(0, 0).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _prefetch():
+        issue(1 - slot, step + 1).start()
+
+    pltpu.make_async_copy(
+        xp.at[pl.ds(0, 2 * TD + 1), :, pl.ds(0, (2 * TH + 1) * W)],
+        slab2.at[slot],
+        sem2.at[slot],
+    ).wait()
+    slab = slab2.at[slot]
+
+    @pl.when(step == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    Cout = g_ref.shape[1]
+    for d in range(TD):
+        for h in range(TH):
+            gv = g_ref[d, :, pl.ds(h * W2, W2)]  # (Cout, W2)
+            for kh in range(3):
+                xv = slab[
+                    pl.ds(2 * d, 3), :, pl.ds((2 * h + kh) * W, W)
+                ].reshape(3 * C, W)
+                xcat = jnp.concatenate(
+                    [
+                        jnp.dot(xv, s_ref[kw],
+                                preferred_element_type=jnp.float32)
+                        for kw in range(3)
+                    ],
+                    axis=0,
+                ).astype(xv.dtype)  # (3·3C, W2), kw-major row blocks
+                dw_ref[kh] += jax.lax.dot_general(
+                    xcat, gv, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_s2_dw(xp: jnp.ndarray, g: jnp.ndarray, interpret: bool = False):
+    """Weight gradient for the stride-2 conv: (3, 3, 3, C, Cout) f32 from
+    xp (D+1, C, H+1, W) (hi-padded, as the forward takes it) and the
+    folded output cotangent g (D/2, Cout, H/2, W/2)."""
+    Dp, C, Hp, W = xp.shape
+    D, H = Dp - 1, Hp - 1
+    D2, H2, W2 = D // 2, H // 2, W // 2
+    Cout = g.shape[1]
+    TD, TH = _pick_tiles_s2(D2, H2, C, W, xp.dtype.itemsize)
+    nD, nH = D2 // TD, H2 // TH
+    n_steps = nD * nH
+    S = jnp.asarray(_selection_matrices(W, xp.dtype))
+    kernel = partial(
+        _s2_dw_kernel, TD=TD, TH=TH, W=W, C=C, n_h_tiles=nH, n_steps=n_steps,
+    )
+    dw = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (TD, Cout, TH * W2),
+                lambda s, _nH=nH: (s // _nH, 0, s % _nH),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 9 * C, Cout), lambda s: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, 9 * C, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * TD + 1, C, (2 * TH + 1) * W), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp.reshape(Dp, C, Hp * W), g.reshape(D2, Cout, H2 * W2), S)
+    # rows = kw·3C + kd·C + c → (kh, kw, kd, c, co) → (kd, kh, kw, c, co)
+    return dw.reshape(3, 3, 3, C, Cout).transpose(2, 0, 1, 3, 4)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def conv3x3_s2(xp: jnp.ndarray, w: jnp.ndarray, interpret: bool = False):
-    """Differentiable fused stride-2 conv+stats: Pallas forward, XLA
-    backward (the stride-2 dx is an input-dilated conv and dw a strided
-    correlation — both still XLA; a Pallas dw/dx pair is future work, the
-    train-step budget rows say it is where the remaining bwd fat sits)."""
+    """Differentiable fused stride-2 conv+stats: Pallas forward, Pallas dw
+    (``conv3x3_s2_dw`` — XLA's strided dw correlation is its weakest bwd
+    op, same finding as the stride-1 blocks), XLA dx (input-dilated conv;
+    measured adequate — see _s2_bwd)."""
     return _conv3x3_s2_impl(xp, w, interpret=interpret)
 
 
@@ -249,14 +364,19 @@ def _s2_bwd(interpret, res, cots):
     Dp, C, Hp, W = xp.shape
     D, H = Dp - 1, Hp - 1
 
-    def f(xp_, w_):
+    # dx via XLA's input-dilated transposed conv (adequate); dw via the
+    # Pallas tap-contraction — XLA's strided bwd-weights correlation is
+    # its weakest op here, the same finding that flipped the stride-1
+    # fused train step (fused_block.py conv3x3_dchw_dw).
+    def f(xp_):
         return jax.lax.conv_general_dilated(
-            xp_[None, :D, :, :H, :], w_.astype(dt), (2, 2, 2), "SAME",
+            xp_[None, :D, :, :H, :], w.astype(dt), (2, 2, 2), "SAME",
             dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
         )[0]
 
-    _, vjp_fn = jax.vjp(f, xp, w)
-    dxp, dw = vjp_fn(g)
+    _, vjp_fn = jax.vjp(f, xp)
+    (dxp,) = vjp_fn(g)
+    dw = conv3x3_s2_dw(xp, g, interpret=interpret)
     return dxp.astype(xp.dtype), dw.astype(w.dtype)
 
 
